@@ -1,0 +1,25 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+The reference has no distributed tests (nothing distributed to test — SURVEY.md §4);
+here every test runs against the same code paths that ship to TPU, with the host
+platform forced to CPU and split into 8 virtual devices so the sharded/multi-chip
+paths are exercised without hardware.
+
+Note: the ambient sitecustomize registers a tunneled TPU backend and pins
+``jax_platforms="axon,cpu"`` via ``jax.config.update`` at interpreter startup, so
+overriding the ``JAX_PLATFORMS`` env var is not enough — the config itself must be
+rewritten before any backend is initialized.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402  (import after env is set)
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_threefry_partitionable", True)
