@@ -208,7 +208,7 @@ class HydroniumRates:
         n = d.shape[0]
         d = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, d)
         d = jnp.where(d <= self.cutoff + self.buffer, d, jnp.inf)
-        neg_d, nbr = jax.lax.top_k(-d, self.k)
+        neg_d, nbr = jax.lax.top_k(-d, min(self.k, n - 1))
         dist = -neg_d
         valid = jnp.isfinite(dist)
         dist = jnp.where(valid, dist, 1e6)
