@@ -1,0 +1,125 @@
+"""HDF5 trajectory store.
+
+Same on-disk layout as the reference (IO/trajectory_parser.py:290-337,
+IO/converters.py:22-50): datasets ``trajectory`` (float32 [F, N, 3]) and
+``atom_names`` (bytes). Blosc compression (filter 32001) is used when the
+filter is available, otherwise gzip — the reference hard-requires
+pytables+conda for Blosc; we degrade gracefully.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Iterator
+
+import h5py
+import numpy as np
+
+from cmdlmc_tpu.io.frames import HostFrame
+
+logger = logging.getLogger(__name__)
+
+TRAJECTORY_KEY = "trajectory"
+ATOMNAMES_KEY = "atom_names"
+BLOSC_FILTER = 32001
+
+
+class HDF5Trajectory:
+    """Iterable over HDF5 trajectory frames with chunked reads
+    (trajectory_parser.py:313-328)."""
+
+    def __init__(
+        self,
+        filename: str,
+        time_step: float,
+        selection=None,
+        repeat: bool = False,
+        chunk_size: int = 1000,
+    ):
+        self.filename = filename
+        self.time_step = time_step
+        self.repeat = repeat
+        self.chunk_size = int(chunk_size)
+        self._current_frame_number = 0
+
+        with h5py.File(filename, "r") as f:
+            names = f[ATOMNAMES_KEY][:]
+        self.atom_names = names.astype("U4")
+
+        if selection is None:
+            self.selection = None
+        elif isinstance(selection, str):
+            self.selection = np.nonzero(self.atom_names == selection)[0]
+        elif isinstance(selection, tuple) and selection and isinstance(selection[0], str):
+            self.selection = np.nonzero(np.isin(self.atom_names, list(selection)))[0]
+        else:
+            self.selection = np.asarray(selection)
+
+    def iter_batches(self) -> Iterator[tuple[np.ndarray, np.ndarray, int]]:
+        names = self.atom_names if self.selection is None else self.atom_names[self.selection]
+        while True:
+            with h5py.File(self.filename, "r") as f:
+                traj = f[TRAJECTORY_KEY]
+                n = traj.shape[0]
+                for start in range(0, n, self.chunk_size):
+                    stop = min(start + self.chunk_size, n)
+                    block = traj[start:stop]
+                    if self.selection is not None:
+                        block = block[:, self.selection]
+                    batch_start = self._current_frame_number
+                    self._current_frame_number += stop - start
+                    yield names, np.asarray(block, dtype=np.float32), batch_start
+            if not self.repeat:
+                return
+
+    def __iter__(self) -> Iterator[HostFrame]:
+        for names, positions, start in self.iter_batches():
+            for i in range(positions.shape[0]):
+                yield HostFrame(
+                    names, positions[i], time=(start + i) * self.time_step
+                )
+
+    def __len__(self):
+        with h5py.File(self.filename, "r") as f:
+            return f[TRAJECTORY_KEY].shape[0]
+
+    @property
+    def current_frame_number(self):
+        return self._current_frame_number
+
+
+def _compression_kwargs():
+    """Prefer Blosc (the reference's on-disk format) when the HDF5 plugin is
+    present; fall back to gzip."""
+    if h5py.h5z.filter_avail(BLOSC_FILTER):
+        return {"compression": BLOSC_FILTER}
+    return {"compression": "gzip", "compression_opts": 4}
+
+
+def write_trajectory(
+    hdf5_fname: str,
+    atom_names: np.ndarray,
+    n_frames: int,
+    frame_shape: tuple[int, int],
+    frame_iter,
+    *,
+    dataset_name: str = TRAJECTORY_KEY,
+    log_every: int = 1000,
+):
+    """Create the reference-layout HDF5 file from an iterator of position
+    arrays (converters.py:22-50)."""
+    with h5py.File(hdf5_fname, "w") as f:
+        names_bytes = np.asarray(atom_names).astype("S4")
+        ds_names = f.create_dataset(ATOMNAMES_KEY, names_bytes.shape, dtype="S4")
+        ds_names[:] = names_bytes
+        traj = f.create_dataset(
+            dataset_name,
+            shape=(n_frames, *frame_shape),
+            dtype=np.float32,
+            **_compression_kwargs(),
+        )
+        for i, positions in enumerate(frame_iter):
+            if i % log_every == 0:
+                logger.info("Frame %i", i)
+            traj[i] = positions
+    return hdf5_fname
