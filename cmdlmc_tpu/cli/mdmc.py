@@ -1,0 +1,35 @@
+"""``mdmc`` console entry point — INI-config-driven cMD/LMC run
+(reference main.py:56-158)."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="TPU-native cMD/LMC kinetic Monte Carlo run",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument(
+        "configfile", help="INI file configuring the cMD/LMC scheme"
+    )
+    parser.add_argument(
+        "--platform",
+        default=None,
+        help="Force a JAX platform (e.g. cpu) instead of the default device",
+    )
+    args = parser.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from cmdlmc_tpu.driver import run_from_config
+
+    run_from_config(args.configfile)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,378 @@
+"""Simulation driver: config -> object graph -> streamed KMC run.
+
+The TPU-native counterpart of the reference's ``mdmc`` entry point
+(main.py:56-158). The reference builds a chain of Python generators and prints
+whatever the output iterable yields; here the driver
+
+  1. builds the cell, trajectory reader, rate law and topology rate model,
+  2. initializes a batch of vmapped replicas (explicitly seeded),
+  3. streams trajectory frame blocks host -> device (prefetched), running the
+     fused scan engine per block,
+  4. formats reference-compatible, '#'-commented column output (the de-facto
+     results format that the analysis tooling parses back — SURVEY.md §5.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import sys
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cmdlmc_tpu import __version__
+from cmdlmc_tpu.config.schema import SimulationConfig, load_config
+from cmdlmc_tpu.core.cell import Cell, extended_positions
+from cmdlmc_tpu.engine import lattice as eng
+from cmdlmc_tpu.io.hdf5 import HDF5Trajectory
+from cmdlmc_tpu.io.stream import frame_blocks, prefetch
+from cmdlmc_tpu.io.xyz import XYZTrajectory, write_xyz_frame
+from cmdlmc_tpu.rates import laws as rate_laws
+from cmdlmc_tpu.topo import models as topo_models
+from cmdlmc_tpu.topo import transforms as topo_transforms
+
+logger = logging.getLogger(__name__)
+
+
+def build_trajectory(cfg: SimulationConfig):
+    t = cfg.trajectory
+    if t.type_ == "XYZTrajectory":
+        return XYZTrajectory(
+            t.filename,
+            time_step=t.time_step,
+            number_of_atoms=t.number_of_atoms,
+            selection=t.selection,
+            repeat=t.repeat,
+        )
+    if t.type_ == "HDF5Trajectory":
+        return HDF5Trajectory(
+            t.filename,
+            time_step=t.time_step,
+            selection=t.selection,
+            repeat=t.repeat,
+            chunk_size=t.chunk_size,
+        )
+    raise ValueError(f"Unknown trajectory type {t.type_!r}")
+
+
+def build_cell(cfg: SimulationConfig) -> Cell:
+    b = cfg.atombox
+    if b.type_ == "AtomBoxCubic":
+        return Cell.cubic(b.periodic_boundaries, b.box_multiplier)
+    if b.type_ == "AtomBoxMonoclinic":
+        return Cell.triclinic(b.periodic_boundaries, b.box_multiplier)
+    raise ValueError(f"Unknown atom box type {b.type_!r}")
+
+
+def build_law(cfg: SimulationConfig):
+    j = cfg.jumprate
+    f32 = jnp.float32
+    if j.type_ == "Fermi":
+        return rate_laws.Fermi(a=f32(j.a), b=f32(j.b), c=f32(j.c))
+    if j.type_ == "FermiAngle":
+        return rate_laws.FermiAngle(a=f32(j.a), b=f32(j.b), c=f32(j.c), theta=f32(j.theta))
+    if j.type_ in ("AE", "ActivationEnergy"):
+        return rate_laws.ActivationEnergy(
+            A=f32(j.A), a=f32(j.a), b=f32(j.b), d0=f32(j.d0), T=f32(j.T)
+        )
+    if j.type_ == "Exponential":
+        return rate_laws.Exponential(a=f32(j.a), b=f32(j.b))
+    if j.type_ == "Constant":
+        return rate_laws.Constant(a=f32(j.a))
+    raise ValueError(f"Unknown jump rate type {j.type_!r}")
+
+
+def build_transformation(cfg: SimulationConfig):
+    tr = cfg.transformation
+    if tr is None:
+        return None
+    f32 = jnp.float32
+    if tr.type_ == "ReLUTransformation":
+        return topo_transforms.ReLUTransformation(
+            a=f32(tr.a), b=f32(tr.b), d0=f32(tr.d0),
+            left_bound=f32(tr.left_bound), right_bound=f32(tr.right_bound),
+        )
+    if tr.type_ == "LinearTransformation":
+        return topo_transforms.LinearTransformation(
+            a=f32(tr.a), b=f32(tr.b),
+            left_bound=f32(tr.left_bound), right_bound=f32(tr.right_bound),
+        )
+    if tr.type_ == "InterpolatedTransformation":
+        return topo_transforms.InterpolatedTransformation.from_file(
+            tr.dist_array_filename, tr.conversion_array_filename
+        )
+    raise ValueError(f"Unknown distance transformation {tr.type_!r}")
+
+
+def build_model(cfg: SimulationConfig, cell: Cell, law, first_block):
+    topo = cfg.topology
+    f32 = jnp.float32
+    if topo.type_ == "NeighborTopology":
+        return topo_models.PairRates(
+            cell=cell, law=law, cutoff=f32(topo.cutoff), buffer=f32(topo.buffer)
+        )
+    if topo.type_ == "AngleTopology":
+        if first_block.extras is None:
+            raise ValueError("AngleTopology requires extra_atoms in the topology section")
+        return topo_models.AnglePairRates.from_first_frame(
+            cell,
+            law,
+            cutoff=topo.cutoff,
+            buffer=topo.buffer,
+            donors0=jnp.asarray(first_block.donors[0]),
+            extras0=jnp.asarray(first_block.extras[0]),
+            group_size=topo.group_size,
+        )
+    if topo.type_ == "HydroniumTopology":
+        interp = None
+        if cfg.interpolator is not None:
+            interp = topo_transforms.DistanceInterpolator(
+                relaxation_time=f32(cfg.interpolator.relaxation_time)
+            )
+        return topo_models.HydroniumRates(
+            cell=cell,
+            law=law,
+            cutoff=f32(topo.cutoff),
+            buffer=f32(topo.buffer),
+            transform=build_transformation(cfg),
+            interpolator=interp,
+            k=topo.neighbors,
+        )
+    raise ValueError(f"Unknown topology type {topo.type_!r}")
+
+
+@dataclasses.dataclass
+class ObservableRecord:
+    frame: int
+    time: float
+    msd: np.ndarray  # [3]
+    msd_var: np.ndarray  # [3]
+    autocorr: float
+    autocorr_var: float
+    jumps: float
+
+
+class Simulation:
+    """Configured simulation; iterate :meth:`observable_rows` or call
+    :meth:`run` to print reference-format output."""
+
+    def __init__(self, cfg: SimulationConfig):
+        self.cfg = cfg
+        self.cell = build_cell(cfg)
+        self.law = build_law(cfg)
+        self.trajectory = build_trajectory(cfg)
+        self.dt = float(cfg.kmc.time_step or cfg.trajectory.time_step)
+        self.box_mult = tuple(cfg.atombox.box_multiplier)
+        self._mult_total = int(np.prod(self.box_mult))
+
+    # -- streaming --------------------------------------------------------------
+
+    def _blocks(self):
+        topo = self.cfg.topology
+        gen = frame_blocks(
+            self.trajectory,
+            block_size=self.cfg.engine.block_size,
+            donor_atoms=topo.donor_atoms,
+            extra_atoms=topo.extra_atoms,
+            max_frames=self.cfg.engine.sweeps,
+        )
+        return prefetch(gen)
+
+    def _extend(self, positions: np.ndarray) -> np.ndarray:
+        """Materialize the virtual supercell when box_multiplier != (1,1,1)."""
+        if self._mult_total == 1:
+            return positions
+        base = np.asarray(self.cfg.atombox.periodic_boundaries, dtype=np.float32)
+        if base.size == 3:
+            vectors = np.diag(base)
+        else:
+            vectors = base.reshape(3, 3)
+        out = [
+            np.asarray(extended_positions(vectors, jnp.asarray(p), self.box_mult))
+            for p in positions
+        ]
+        return np.stack(out)
+
+    def _device_frames(self, block) -> topo_models.Frame:
+        donors = jnp.asarray(self._extend(block.donors), dtype=jnp.float32)
+        extras = (
+            jnp.asarray(self._extend(block.extras), dtype=jnp.float32)
+            if block.extras is not None
+            else None
+        )
+        idx = jnp.arange(block.start, block.start + block.n_frames, dtype=jnp.int32)
+        return topo_models.Frame(
+            donors=donors,
+            extras=extras,
+            time=idx.astype(jnp.float32) * jnp.float32(self.dt),
+            index=idx,
+        )
+
+    # -- main loop ---------------------------------------------------------------
+
+    def observable_rows(self) -> Iterator[ObservableRecord]:
+        cfg = self.cfg
+        model = None
+        states = None
+        keys = None
+        n_sites_expected = cfg.kmc.lattice_size
+
+        for block in self._blocks():
+            frames = self._device_frames(block)
+            if model is None:
+                model = build_model(cfg, self.cell, self.law, block)
+                n_sites = frames.donors.shape[1]
+                if n_sites != n_sites_expected:
+                    logger.warning(
+                        "lattice_size=%d but trajectory provides %d donor sites; "
+                        "using %d",
+                        n_sites_expected, n_sites, n_sites,
+                    )
+                key = jax.random.key(cfg.engine.seed)
+                states = eng.init_replicas(
+                    jax.random.fold_in(key, 0),
+                    cfg.engine.replicas,
+                    n_sites,
+                    cfg.kmc.proton_number,
+                    frames.donors[0],
+                )
+                keys = jax.random.split(
+                    jax.random.fold_in(key, 1), cfg.engine.replicas
+                )
+            states, rows = eng.run_block(
+                model,
+                self.cell,
+                states,
+                keys,
+                frames,
+                dt=self.dt,
+                max_events=cfg.engine.max_events_per_frame,
+                reset_frequency=cfg.output.reset_frequency,
+            )
+            rows = jax.device_get(rows)
+            for i in range(block.n_frames):
+                frame_no = int(rows.frame[i])
+                if frame_no % cfg.output.print_frequency == 0:
+                    yield ObservableRecord(
+                        frame=frame_no,
+                        time=float(rows.time[i]),
+                        msd=np.asarray(rows.msd_mean[i]),
+                        msd_var=np.asarray(rows.msd_var[i]),
+                        autocorr=float(rows.autocorr_mean[i]),
+                        autocorr_var=float(rows.autocorr_var[i]),
+                        jumps=float(rows.jumps_mean[i]),
+                    )
+        self.final_states = states
+
+    def xyz_rows(self) -> Iterator[str]:
+        """XYZOutput mode: donor frames with proton pseudo-atoms of replica 0
+        appended (MDMC.py:173-177)."""
+        import io as _io
+
+        cfg = self.cfg
+        model = None
+        states = None
+        keys = None
+
+        for block in self._blocks():
+            frames = self._device_frames(block)
+            if model is None:
+                model = build_model(cfg, self.cell, self.law, block)
+                n_sites = frames.donors.shape[1]
+                key = jax.random.key(cfg.engine.seed)
+                states = eng.init_replicas(
+                    jax.random.fold_in(key, 0),
+                    cfg.engine.replicas,
+                    n_sites,
+                    cfg.kmc.proton_number,
+                    frames.donors[0],
+                )
+                keys = jax.random.split(jax.random.fold_in(key, 1), cfg.engine.replicas)
+            states, rows, sites = eng.run_block_with_sites(
+                model,
+                self.cell,
+                states,
+                keys,
+                frames,
+                dt=self.dt,
+                max_events=cfg.engine.max_events_per_frame,
+                reset_frequency=cfg.output.reset_frequency,
+            )
+            donors_np = np.asarray(jax.device_get(frames.donors))
+            sites_np = np.asarray(jax.device_get(sites))
+            donor_name = cfg.topology.donor_atoms
+            for i in range(block.n_frames):
+                if (block.start + i) % cfg.output.print_frequency != 0:
+                    continue
+                buf = _io.StringIO()
+                pos = donors_np[i]
+                proton_pos = pos[sites_np[i]]
+                names = [donor_name] * len(pos) + [cfg.output.particle_type] * len(
+                    proton_pos
+                )
+                write_xyz_frame(
+                    buf, names, np.vstack([pos, proton_pos]),
+                    comment=f"frame {block.start + i}",
+                )
+                yield buf.getvalue().rstrip("\n")
+        self.final_states = states
+
+    def run(self, out=None):
+        out = out or sys.stdout
+        cfg = self.cfg
+        print(f"# cmdlmc_tpu {__version__}", file=out)
+        for line in config_echo(cfg):
+            print(line, file=out)
+        if cfg.output.type_ == "XYZOutput":
+            for row in self.xyz_rows():
+                print(row, file=out)
+            return
+        header = ["Sweeps", "Time", "MSD_x", "MSD_y", "MSD_z", "Autocorr", "Jumps"]
+        if cfg.output.variance:
+            header += ["MSD_var_x", "MSD_var_y", "MSD_var_z", "Autocorr_var"]
+        print("# " + " ".join(f"{h:>12}" for h in header), file=out)
+        for r in self.observable_rows():
+            cols = [
+                f"{r.frame:12d}",
+                f"{r.time:14.2f}",
+                f"{r.msd[0]:12.4f}",
+                f"{r.msd[1]:12.4f}",
+                f"{r.msd[2]:12.4f}",
+                f"{r.autocorr:8.2f}",
+                f"{r.jumps:8.2f}",
+            ]
+            if cfg.output.variance:
+                cols += [
+                    f"{r.msd_var[0]:12.4f}",
+                    f"{r.msd_var[1]:12.4f}",
+                    f"{r.msd_var[2]:12.4f}",
+                    f"{r.autocorr_var:8.2f}",
+                ]
+            print(" ".join(cols), file=out, flush=True)
+
+
+def config_echo(cfg: SimulationConfig) -> list[str]:
+    """Echo settings as '#' comments — downstream tooling recovers run
+    parameters from these (average_MC_out.py:38-56)."""
+    lines = []
+    lines.append(f"# sweeps {cfg.engine.sweeps if cfg.engine.sweeps else 0}")
+    lines.append(f"# reset_freq {cfg.output.reset_frequency}")
+    lines.append(f"# print_freq {cfg.output.print_frequency}")
+    lines.append(f"# replicas {cfg.engine.replicas}")
+    lines.append(f"# seed {cfg.engine.seed}")
+    lines.append(f"# proton_number {cfg.kmc.proton_number}")
+    lines.append(f"# lattice_size {cfg.kmc.lattice_size}")
+    lines.append(f"# time_step {cfg.kmc.time_step or cfg.trajectory.time_step}")
+    return lines
+
+
+def run_from_config(path_or_file, out=None) -> Simulation:
+    cfg = load_config(path_or_file)
+    if cfg.logging_level:
+        logging.basicConfig(level=cfg.logging_level.upper())
+    sim = Simulation(cfg)
+    sim.run(out=out)
+    return sim

@@ -340,3 +340,54 @@ def run_block(
         return states2, row
 
     return jax.lax.scan(step, states, frames)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("dt", "max_events", "reset_frequency"),
+)
+def run_block_with_sites(
+    model,
+    cell: Cell,
+    states: ReplicaState,
+    keys: Array,
+    frames: Frame,
+    *,
+    dt: float,
+    max_events: int = 4,
+    reset_frequency: int = 0,
+):
+    """Like :func:`run_block`, additionally emitting replica 0's proton site
+    indices per frame — feeds the XYZOutput mode (MDMC.py:173-177)."""
+
+    def step(states, frame):
+        if reset_frequency > 0:
+            reset = jnp.logical_and(
+                frame.index % reset_frequency == 0, frame.index > 0
+            )
+        else:
+            reset = jnp.bool_(False)
+
+        def per_replica(state, key):
+            state, n_fired = _replica_frame_step(
+                model, frame, dt, max_events, state, key
+            )
+            state = _update_observables(cell, frame, reset, state)
+            return state, n_fired
+
+        states2, _ = jax.vmap(per_replica)(states, keys)
+        msd, autocorr = observables_of(states2)
+        row = ObsRow(
+            frame=frame.index,
+            time=frame.time,
+            msd_mean=msd.mean(axis=0),
+            msd_var=msd.var(axis=0),
+            autocorr_mean=autocorr.astype(jnp.float32).mean(),
+            autocorr_var=autocorr.astype(jnp.float32).var(),
+            jumps_mean=states2.jumps.astype(jnp.float32).mean(),
+            events_mean=states2.clock.event_count.astype(jnp.float32).mean(),
+        )
+        return states2, (row, states2.site_of_proton[0])
+
+    states, (rows, sites) = jax.lax.scan(step, states, frames)
+    return states, rows, sites
