@@ -1,0 +1,115 @@
+"""Benchmark harness: KMC site-updates/sec/chip on the flagship configuration.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The metric is lattice site-updates per second per chip (N_sites x replicas x
+frames / wall s) on the reference integration scale (144 donor sites, 96
+protons — tests/integration/mdlmc_run.py:67-68 in the reference). vs_baseline
+is measured against the BASELINE.json north star of 1e9 site-updates/s/chip
+(the reference itself publishes no numbers — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+NORTH_STAR = 1.0e9
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--replicas", type=int, default=4096)
+    parser.add_argument("--sites", type=int, default=144)
+    parser.add_argument("--protons", type=int, default=96)
+    parser.add_argument("--block-frames", type=int, default=256)
+    parser.add_argument("--blocks", type=int, default=4)
+    parser.add_argument("--max-events", type=int, default=4)
+    parser.add_argument("--platform", default=None)
+    args = parser.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax
+    import jax.numpy as jnp
+
+    from cmdlmc_tpu.core.cell import Cell
+    from cmdlmc_tpu.engine import lattice as eng
+    from cmdlmc_tpu.rates.laws import Fermi
+    from cmdlmc_tpu.topo.models import Frame, PairRates
+
+    rng = np.random.RandomState(0)
+    positions = rng.uniform(0, 14.5, size=(args.sites, 3)).astype(np.float32)
+    cell = Cell.cubic([14.5, 14.5, 14.5])
+    model = PairRates(
+        cell=cell,
+        law=Fermi(a=jnp.float32(0.06), b=jnp.float32(2.3), c=jnp.float32(0.1)),
+        cutoff=jnp.float32(3.0),
+        buffer=jnp.float32(2.0),
+    )
+    key = jax.random.key(0)
+    states = eng.init_replicas(
+        jax.random.fold_in(key, 0),
+        args.replicas,
+        args.sites,
+        args.protons,
+        jnp.asarray(positions),
+    )
+    keys = jax.random.split(jax.random.fold_in(key, 1), args.replicas)
+
+    def frames_for(start):
+        # jittered copies of the base geometry so the rate matrix changes per frame
+        jit_pos = positions[None] + rng.normal(
+            scale=0.03, size=(args.block_frames, args.sites, 3)
+        ).astype(np.float32)
+        idx = jnp.arange(start, start + args.block_frames, dtype=jnp.int32)
+        return Frame(
+            donors=jnp.asarray(jit_pos),
+            extras=None,
+            time=idx.astype(jnp.float32) * 0.5,
+            index=idx,
+        )
+
+    dt = 0.5
+
+    # Warmup / compile
+    blk = frames_for(0)
+    states, rows = eng.run_block(
+        model, cell, states, keys, blk, dt=dt, max_events=args.max_events
+    )
+    jax.block_until_ready(rows.msd_mean)
+
+    t0 = time.perf_counter()
+    total_frames = 0
+    for b in range(args.blocks):
+        blk = frames_for((b + 1) * args.block_frames)
+        states, rows = eng.run_block(
+            model, cell, states, keys, blk, dt=dt, max_events=args.max_events
+        )
+        total_frames += args.block_frames
+    jax.block_until_ready(rows.msd_mean)
+    elapsed = time.perf_counter() - t0
+
+    site_updates = args.sites * args.replicas * total_frames
+    rate = site_updates / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "kmc_site_updates_per_sec_per_chip",
+                "value": rate,
+                "unit": "site-updates/s",
+                "vs_baseline": rate / NORTH_STAR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
