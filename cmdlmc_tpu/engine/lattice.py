@@ -62,6 +62,9 @@ def _pytree(cls=None, *, data_fields, meta_fields=()):
         "snapshot",
         "displacement",
         "autocorr_ref",
+        "jump_hist",
+        "opportunity_hist",
+        "jump_matrix",
     ]
 )
 class ReplicaState:
@@ -78,6 +81,12 @@ class ReplicaState:
     snapshot       f32[P,3] proton positions at the previous frame (MSD)
     displacement   f32[P,3] accumulated PBC-aware displacement since reset
     autocorr_ref   i32[P]   site of each proton at the last reset
+    jump_hist      i32[B]   distance-binned jump counts (jumpstat; B=0 disables)
+    opportunity_hist f32[B] distance-binned allowed-transition exposure, in
+                            units of frames (jump probability = jump_hist /
+                            opportunity_hist)
+    jump_matrix    i32[N,N] per-pair jump counts (legacy jumpmatrix capability,
+                            IO/config_parser.py:300-306; shape (0,0) disables)
     """
 
     occ: Array
@@ -89,6 +98,9 @@ class ReplicaState:
     snapshot: Array
     displacement: Array
     autocorr_ref: Array
+    jump_hist: Array
+    opportunity_hist: Array
+    jump_matrix: Array
 
 
 @_pytree(
@@ -122,10 +134,18 @@ def init_replicas(
     n_sites: int,
     n_protons: int,
     first_positions: Array,
+    *,
+    hist_bins: int = 0,
+    track_jump_matrix: bool = False,
 ) -> ReplicaState:
     """Random-occupancy initialization, the vmapped analog of the reference's
     shuffled label array (MDMC.py:68-72) — but with explicit keys instead of
-    global RNG state (the reference's unseeded gap, SURVEY.md §5.2)."""
+    global RNG state (the reference's unseeded gap, SURVEY.md §5.2).
+
+    ``hist_bins > 0`` enables distance-resolved jump statistics (jumpstat);
+    ``track_jump_matrix`` enables the N x N pair jump counter."""
+
+    jm = n_sites if track_jump_matrix else 0
 
     def init_one(k):
         sites = jax.random.permutation(k, n_sites)[:n_protons].astype(jnp.int32)
@@ -143,9 +163,23 @@ def init_replicas(
             snapshot=snapshot,
             displacement=jnp.zeros((n_protons, 3), jnp.float32),
             autocorr_ref=sites,
+            jump_hist=jnp.zeros((hist_bins,), jnp.int32),
+            opportunity_hist=jnp.zeros((hist_bins,), jnp.float32),
+            jump_matrix=jnp.zeros((jm, jm), jnp.int32),
         )
 
     return jax.vmap(init_one)(jax.random.split(key, n_replicas))
+
+
+def _hist_bin(dist: Array, hist_range: tuple[float, float], n_bins: int) -> Array:
+    lo, hi = hist_range
+    raw = (dist - lo) / (hi - lo) * n_bins
+    return jnp.clip(raw.astype(jnp.int32), 0, n_bins - 1)
+
+
+def _hist_in_range(dist: Array, hist_range: tuple[float, float]) -> Array:
+    lo, hi = hist_range
+    return (dist >= lo) & (dist < hi)
 
 
 # ----------------------------------------------------------------------------
@@ -165,42 +199,49 @@ def _site_residence(occ, proton_of_site, t_last_jump, time):
 
 def _allowed_and_total(model, shared, aux, time):
     """Total allowed jump rate and the pieces needed for selection."""
-    occ, proton_of_site, site_of_proton, t_last, jumps = aux
+    occ = aux[0]
+    proton_of_site = aux[1]
+    t_last = aux[3]
     if isinstance(shared, DenseShared):
         out_rates = shared.W @ (1.0 - occ)  # [N]
         row_rates = occ * out_rates
-        return row_rates.sum(), ("dense", row_rates, shared.W)
+        return row_rates.sum(), ("dense", row_rates, shared.W, shared.dist)
     residence = _site_residence(occ, proton_of_site, t_last, time)
     omega, nbr, valid = model.replica_omega(shared, residence)
     allowed = omega * occ[:, None] * (1.0 - occ[nbr])
-    return allowed.sum(), ("topk", allowed, nbr)
+    return allowed.sum(), ("topk", allowed, nbr, shared.dist)
 
 
 def _select_transition(select_info, occ, key):
     """Draw (source, destination) with probability proportional to the allowed
     pair rate — exactly the distribution of the reference's cumsum/searchsorted
-    (MDMC.py:109-113), factored as P(s) * P(d | s)."""
+    (MDMC.py:109-113), factored as P(s) * P(d | s). Also returns the raw pair
+    distance of the chosen transition (for jump statistics)."""
     kind = select_info[0]
     if kind == "dense":
-        _, row_rates, W = select_info
+        _, row_rates, W, dist = select_info
         k1, k2 = jax.random.split(key)
         src = jax.random.categorical(k1, jnp.log(row_rates))
         dst_rates = W[src] * (1.0 - occ)
         dst = jax.random.categorical(k2, jnp.log(dst_rates))
-        return src.astype(jnp.int32), dst.astype(jnp.int32)
-    _, allowed, nbr = select_info
+        return src.astype(jnp.int32), dst.astype(jnp.int32), dist[src, dst]
+    _, allowed, nbr, dist = select_info
     n, kk = allowed.shape
     flat_idx = jax.random.categorical(key, jnp.log(allowed.reshape(-1)))
     src = (flat_idx // kk).astype(jnp.int32)
     dst = nbr.reshape(-1)[flat_idx].astype(jnp.int32)
-    return src, dst
+    return src, dst, dist.reshape(-1)[flat_idx]
 
 
-def _replica_frame_step(model, frame, dt, max_events, state: ReplicaState, key):
+def _replica_frame_step(
+    model, frame, dt, max_events, hist_range, state: ReplicaState, key
+):
     """Advance one replica across one MD frame. ``key`` must be unique per
     replica but MUST NOT vary with the frame (the clock folds in event ordinals,
     keeping the draw stream chunking-invariant — see engine/clock.py)."""
     shared = model.shared(frame)
+    n_bins = state.jump_hist.shape[0]
+    track_matrix = state.jump_matrix.shape[0] > 0
 
     aux = (
         state.occ,
@@ -208,6 +249,8 @@ def _replica_frame_step(model, frame, dt, max_events, state: ReplicaState, key):
         state.site_of_proton,
         state.t_last_jump,
         state.jumps,
+        state.jump_hist,
+        state.jump_matrix,
     )
 
     def rate_fn(aux):
@@ -215,9 +258,9 @@ def _replica_frame_step(model, frame, dt, max_events, state: ReplicaState, key):
         return total
 
     def apply_fn(aux, event_key, event_phase):
-        occ, proton_of_site, site_of_proton, t_last, jumps = aux
+        occ, proton_of_site, site_of_proton, t_last, jumps, hist, jmat = aux
         _, select_info = _allowed_and_total(model, shared, aux, frame.time)
-        src, dst = _select_transition(select_info, occ, event_key)
+        src, dst, d_evt = _select_transition(select_info, occ, event_key)
         label = proton_of_site[src]
         p_idx = jnp.maximum(label - 1, 0)
         t_event = frame.time + event_phase
@@ -225,7 +268,12 @@ def _replica_frame_step(model, frame, dt, max_events, state: ReplicaState, key):
         proton_of_site = proton_of_site.at[src].set(0).at[dst].set(label)
         site_of_proton = site_of_proton.at[p_idx].set(dst)
         t_last = t_last.at[p_idx].set(t_event)
-        return occ, proton_of_site, site_of_proton, t_last, jumps + 1
+        if n_bins > 0:
+            inc = _hist_in_range(d_evt, hist_range).astype(jnp.int32)
+            hist = hist.at[_hist_bin(d_evt, hist_range, n_bins)].add(inc)
+        if track_matrix:
+            jmat = jmat.at[src, dst].add(1)
+        return occ, proton_of_site, site_of_proton, t_last, jumps + 1, hist, jmat
 
     new_clock, aux, n_fired = kmc_clock.frame_step(
         state.clock,
@@ -237,7 +285,27 @@ def _replica_frame_step(model, frame, dt, max_events, state: ReplicaState, key):
         key=key,
         max_events=max_events,
     )
-    occ, proton_of_site, site_of_proton, t_last, jumps = aux
+    occ, proton_of_site, site_of_proton, t_last, jumps, hist, jmat = aux
+
+    opp = state.opportunity_hist
+    if n_bins > 0:
+        # Exposure: which allowed transitions existed this frame, binned by
+        # their raw pair distance (jump probability = jump_hist / exposure).
+        if isinstance(shared, DenseShared):
+            allowed_mask = (shared.W > 0) * occ[:, None] * (1.0 - occ[None, :])
+            dists = shared.dist
+        else:
+            residence = _site_residence(occ, proton_of_site, t_last, frame.time)
+            omega, nbr, valid = model.replica_omega(shared, residence)
+            allowed_mask = valid * (omega > 0) * occ[:, None] * (1.0 - occ[nbr])
+            dists = shared.dist
+        weights = allowed_mask * _hist_in_range(dists, hist_range)
+        opp = opp + jax.ops.segment_sum(
+            weights.reshape(-1),
+            _hist_bin(dists, hist_range, n_bins).reshape(-1),
+            num_segments=n_bins,
+        )
+
     return (
         dataclasses.replace(
             state,
@@ -247,6 +315,9 @@ def _replica_frame_step(model, frame, dt, max_events, state: ReplicaState, key):
             t_last_jump=t_last,
             clock=new_clock,
             jumps=jumps,
+            jump_hist=hist,
+            jump_matrix=jmat,
+            opportunity_hist=opp,
         ),
         n_fired,
     )
@@ -290,7 +361,7 @@ def observables_of(state: ReplicaState):
 
 @partial(
     jax.jit,
-    static_argnames=("dt", "max_events", "reset_frequency"),
+    static_argnames=("dt", "max_events", "reset_frequency", "hist_range"),
 )
 def run_block(
     model,
@@ -302,6 +373,7 @@ def run_block(
     dt: float,
     max_events: int = 4,
     reset_frequency: int = 0,
+    hist_range: tuple = (2.0, 3.0),
 ) -> tuple[ReplicaState, ObsRow]:
     """Advance all replicas across a block of frames (stacked leading axis).
 
@@ -320,7 +392,7 @@ def run_block(
 
         def per_replica(state, key):
             state, n_fired = _replica_frame_step(
-                model, frame, dt, max_events, state, key
+                model, frame, dt, max_events, hist_range, state, key
             )
             state = _update_observables(cell, frame, reset, state)
             return state, n_fired
@@ -344,7 +416,7 @@ def run_block(
 
 @partial(
     jax.jit,
-    static_argnames=("dt", "max_events", "reset_frequency"),
+    static_argnames=("dt", "max_events", "reset_frequency", "hist_range"),
 )
 def run_block_with_sites(
     model,
@@ -356,6 +428,7 @@ def run_block_with_sites(
     dt: float,
     max_events: int = 4,
     reset_frequency: int = 0,
+    hist_range: tuple = (2.0, 3.0),
 ):
     """Like :func:`run_block`, additionally emitting replica 0's proton site
     indices per frame — feeds the XYZOutput mode (MDMC.py:173-177)."""
@@ -370,7 +443,7 @@ def run_block_with_sites(
 
         def per_replica(state, key):
             state, n_fired = _replica_frame_step(
-                model, frame, dt, max_events, state, key
+                model, frame, dt, max_events, hist_range, state, key
             )
             state = _update_observables(cell, frame, reset, state)
             return state, n_fired

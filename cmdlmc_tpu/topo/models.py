@@ -61,13 +61,14 @@ class Frame:
     index: Array
 
 
-@_pytree(data_fields=["W"])
+@_pytree(data_fields=["W", "dist"])
 class DenseShared:
     """Replica-independent dense rate matrix for one frame; W[i, j] is the jump
     rate donor i -> donor j, already masked (0 outside cutoff+buffer, 0 on the
-    diagonal)."""
+    diagonal). ``dist`` keeps the raw pair distances for jump statistics."""
 
     W: Array
+    dist: Array
 
 
 @_pytree(data_fields=["dist", "dist_rescaled", "nbr", "valid", "time"])
@@ -101,7 +102,7 @@ class PairRates:
         d = pairwise_distances(self.cell, frame.donors, frame.donors)
         n = d.shape[0]
         valid = (d <= self.cutoff + self.buffer) & ~jnp.eye(n, dtype=bool)
-        return DenseShared(W=jnp.where(valid, self.law(d), 0.0))
+        return DenseShared(W=jnp.where(valid, self.law(d), 0.0), dist=d)
 
     def replica_omega(self, shared: DenseShared, site_residence: Array):
         return shared
@@ -168,7 +169,7 @@ class AnglePairRates:
             donors[None, :, :],
         )
         valid = (d <= self.cutoff + self.buffer) & ~jnp.eye(n, dtype=bool)
-        return DenseShared(W=jnp.where(valid, self.law(d, ang), 0.0))
+        return DenseShared(W=jnp.where(valid, self.law(d, ang), 0.0), dist=d)
 
     def replica_omega(self, shared: DenseShared, site_residence: Array):
         return shared

@@ -1,0 +1,66 @@
+"""Distance-resolved jump statistics: the engine's on-device histograms must
+recover the underlying rate law — the capability of the reference's (absent)
+``jumpstat`` tool (README.md:57-58, SURVEY.md §2.26)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cmdlmc_tpu.core.cell import Cell
+from cmdlmc_tpu.engine import lattice as eng
+from cmdlmc_tpu.rates.laws import Fermi
+from cmdlmc_tpu.topo.models import Frame, PairRates
+
+
+def test_jump_histogram_recovers_fermi_law():
+    rng = np.random.RandomState(5)
+    n_sites, n_protons, n_replicas = 24, 8, 48
+    dt = 0.5
+    positions = rng.uniform(0, 7, size=(n_sites, 3)).astype(np.float32)
+    cell = Cell.cubic([30.0, 30.0, 30.0])
+    a, b, c = 0.08, 2.6, 0.25
+    law = Fermi(a=jnp.float32(a), b=jnp.float32(b), c=jnp.float32(c))
+    model = PairRates(
+        cell=cell, law=law, cutoff=jnp.float32(3.0), buffer=jnp.float32(1.0)
+    )
+
+    hist_range = (2.0, 4.0)
+    n_bins = 8
+    key = jax.random.key(0)
+    states = eng.init_replicas(
+        jax.random.fold_in(key, 0), n_replicas, n_sites, n_protons,
+        jnp.asarray(positions), hist_bins=n_bins, track_jump_matrix=True,
+    )
+    keys = jax.random.split(jax.random.fold_in(key, 1), n_replicas)
+
+    n_frames = 1500
+    pos = jnp.broadcast_to(jnp.asarray(positions), (n_frames, n_sites, 3))
+    idx = jnp.arange(n_frames, dtype=jnp.int32)
+    frames = Frame(donors=pos, extras=None, time=idx.astype(jnp.float32) * dt, index=idx)
+
+    states, _ = eng.run_block(
+        model, cell, states, keys, frames, dt=dt, hist_range=hist_range
+    )
+
+    jumps = np.asarray(states.jump_hist).sum(axis=0).astype(float)
+    opp = np.asarray(states.opportunity_hist).sum(axis=0)
+    total_events = int(np.asarray(states.clock.event_count).sum())
+    assert total_events > 500
+    # jump matrix total equals event count
+    assert int(np.asarray(states.jump_matrix).sum()) == total_events
+
+    edges = np.linspace(*hist_range, n_bins + 1)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    fermi = a / (1.0 + np.exp((centers - b) / c))
+    expected_prob = fermi * dt  # probability per frame of exposure
+
+    mask = opp * expected_prob > 30  # only well-populated bins
+    assert mask.sum() >= 3
+    measured = jumps[mask] / opp[mask]
+    want = expected_prob[mask]
+    # Poisson CI: relative error ~ 1/sqrt(count)
+    counts = jumps[mask]
+    rel_err = np.abs(measured - want) / want
+    assert np.all(rel_err < 5.0 / np.sqrt(np.maximum(counts, 1)) + 0.15), (
+        measured, want, counts
+    )

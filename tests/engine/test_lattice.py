@@ -45,6 +45,9 @@ def manual_state(lattice, positions, n_protons):
         snapshot=jnp.asarray(snapshot),
         displacement=jnp.zeros((n_protons, 3), jnp.float32),
         autocorr_ref=jnp.asarray(site_of_proton),
+        jump_hist=jnp.zeros((0,), jnp.int32),
+        opportunity_hist=jnp.zeros((0,), jnp.float32),
+        jump_matrix=jnp.zeros((0, 0), jnp.int32),
     )
 
 
