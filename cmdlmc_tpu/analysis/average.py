@@ -1,0 +1,222 @@
+"""Post-processing of KMC stdout: interval averaging, MSD-slope diffusion
+coefficients, bootstrap errors.
+
+Re-provides the reference's ``average_MC_out`` CLI (LMC/average_MC_out.py):
+the KMC run's column output is split into reset intervals, averaged, and the
+summed-MSD slope fit gives D = m / 6 with unit conversion. Interval detection
+uses the same three strategies as the reference: parse echoed ``#`` settings
+(average_MC_out.py:38-56), an 'Averaged Results' footer (:58-78), or the
+MSD-zero heuristic (:82-91).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from cmdlmc_tpu.analysis.units import parse_msd_unit
+
+N_COLUMNS = 7  # sweeps time msd_x msd_y msd_z autocorr jumps
+
+
+def _settings_from_comments(lines):
+    settings = {}
+    for line in lines:
+        if not line.startswith("#"):
+            continue
+        for key in ("print_freq", "reset_freq", "sweeps"):
+            if key in line:
+                try:
+                    settings[key] = int(float(line.split()[-1]))
+                except ValueError:
+                    pass
+    try:
+        if settings["reset_freq"] <= 0 or settings["print_freq"] <= 0:
+            return None
+        interval_length = settings["reset_freq"] // settings["print_freq"]
+        if settings["sweeps"]:
+            interval_number = settings["sweeps"] // settings["reset_freq"]
+        else:
+            interval_number = None
+        return interval_length, interval_number
+    except KeyError:
+        return None
+
+
+def _intervals_from_msd_zeros(data):
+    zeros = np.where(data[:, 2] == 0)[0]
+    if len(zeros) < 2:
+        return None
+    interval_length = zeros[1] - zeros[0]
+    return interval_length, len(zeros)
+
+
+def load_intervals(filename_or_lines, verbose=False):
+    """Load KMC output into an array of shape (intervals, rows, columns)."""
+    if isinstance(filename_or_lines, str):
+        with open(filename_or_lines) as f:
+            lines = f.readlines()
+    else:
+        lines = list(filename_or_lines)
+
+    rows = [l.split() for l in lines if l.strip() and not l.startswith("#")]
+    data = np.array(rows, dtype=float)
+    if data.ndim != 2:
+        raise ValueError("No data rows found")
+
+    result = _settings_from_comments(lines)
+    if result is None:
+        result = _intervals_from_msd_zeros(data)
+    if result is None:
+        interval_length, interval_number = data.shape[0], 1
+    else:
+        interval_length, interval_number = result
+    if interval_number is None or interval_number * interval_length > data.shape[0]:
+        interval_number = data.shape[0] // interval_length
+    if interval_number == 0:
+        interval_length, interval_number = data.shape[0], 1
+    if verbose:
+        print(
+            f"# intervals: {interval_number} x {interval_length} rows",
+            file=sys.stderr,
+        )
+    n = interval_number * interval_length
+    return data[:n].reshape(interval_number, interval_length, data.shape[1])
+
+
+def average_intervals(data, variance=False):
+    """Interval mean (and variance) of every observable column
+    (average_MC_out.py:115-125)."""
+    time = data[0, :, 0:2]
+    avg = data[:, :, 2:].mean(axis=0)
+    if variance:
+        return time, avg, data[:, :, 2:].var(axis=0)
+    return time, avg
+
+
+def fit_slope(
+    data,
+    *,
+    fit_startpoint: int = 0,
+    average_first: bool = False,
+    length_unit: str = "angstrom",
+    time_unit: str = "fs",
+    output_unit: str = "angstrom**2/ps",
+):
+    """Slope of summed MSD vs time -> (m, m_err, D, D_err) in output_unit
+    (average_MC_out.py:149-205). Per-interval fits by default; with
+    ``average_first`` the intervals are averaged before one weighted fit."""
+    time = data[0, :, 1]
+    msd_sum = data[:, :, 2:5].sum(axis=-1)  # [intervals, rows]
+    t = time[fit_startpoint:]
+
+    if average_first:
+        y = msd_sum.mean(axis=0)[fit_startpoint:]
+        yerr = np.sqrt(msd_sum.var(axis=0))[fit_startpoint:]
+        w = np.where(yerr > 0, 1.0 / np.maximum(yerr, 1e-12), 1.0)
+        coef, cov = np.polyfit(t, y, 1, w=w, cov=True)
+        m, m_err = coef[0], float(np.sqrt(cov[0, 0]))
+    else:
+        slopes = []
+        for interval in msd_sum:
+            coef = np.polyfit(t, interval[fit_startpoint:], 1)
+            slopes.append(coef[0])
+        slopes = np.asarray(slopes)
+        m = slopes.mean()
+        m_err = slopes.std() / max(np.sqrt(len(slopes) - 1), 1.0)
+
+    # input data is angstrom^2 / (time column unit); convert via declared units
+    base = parse_msd_unit(f"{length_unit}**2/{time_unit}")
+    factor = parse_msd_unit(output_unit) / base
+    m, m_err = m * factor, m_err * factor
+    return m, m_err, m / 6.0, m_err / 6.0
+
+
+def bootstrap_slope(data, n_boot=200, seed=0, **kw):
+    """Bootstrap over intervals: distribution of the MSD slope
+    (average_MC_out.py:137-146, completed — the reference version dead-ends in
+    a debugger call)."""
+    rng = np.random.RandomState(seed)
+    n = data.shape[0]
+    slopes = []
+    for _ in range(n_boot):
+        idx = rng.randint(0, n, size=n)
+        m, _, _, _ = fit_slope(data[idx], **kw)
+        slopes.append(m)
+    slopes = np.asarray(slopes)
+    return slopes.mean(), slopes.std()
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Average KMC output (time in first two columns)"
+    )
+    parser.add_argument("--verbose", "-v", action="store_true")
+    parser.add_argument("--time_unit", default="fs")
+    parser.add_argument("--length_unit", default="angstrom")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_avg = sub.add_parser("average", help="Average all columns over intervals")
+    p_avg.add_argument("file")
+    p_avg.add_argument("--variance", action="store_true")
+
+    p_slope = sub.add_parser("slope", help="MSD slope -> diffusion coefficient")
+    p_slope.add_argument("file")
+    p_slope.add_argument("-a", "--average_first", action="store_true")
+    p_slope.add_argument("--msd-fitstart", "-s", type=int, default=0)
+    p_slope.add_argument("--output_unit", "-u", default="angstrom**2/ps")
+    p_slope.add_argument("--minimal", "-m", action="store_true")
+
+    p_boot = sub.add_parser("bootstrap", help="Bootstrap MSD slope error")
+    p_boot.add_argument("file")
+    p_boot.add_argument("--n-boot", type=int, default=200)
+    p_boot.add_argument("--output_unit", "-u", default="angstrom**2/ps")
+
+    args = parser.parse_args(argv)
+    data = load_intervals(args.file, verbose=args.verbose)
+
+    if args.cmd == "average":
+        if args.variance:
+            time, avg, var = average_intervals(data, variance=True)
+        else:
+            time, avg = average_intervals(data)
+            var = None
+        header = ["sweeps", "time", "msd_x", "msd_y", "msd_z", "autocorr", "jumps"]
+        print("# " + " ".join(f"{h:>12}" for h in header[: 2 + avg.shape[1]]))
+        for i in range(avg.shape[0]):
+            cols = [f"{time[i,0]:12.2f}", f"{time[i,1]:12.2f}"]
+            cols += [f"{v:12.4f}" for v in avg[i]]
+            if var is not None:
+                cols += [f"{v:12.4f}" for v in var[i]]
+            print(" ".join(cols))
+    elif args.cmd == "slope":
+        m, m_err, d, d_err = fit_slope(
+            data,
+            fit_startpoint=args.msd_fitstart,
+            average_first=args.average_first,
+            length_unit=args.length_unit,
+            time_unit=args.time_unit,
+            output_unit=args.output_unit,
+        )
+        if args.minimal:
+            print(d, d_err)
+        else:
+            print("Slope:")
+            print(f"({m} ± {m_err}) {args.output_unit}")
+            print("Diffusion coefficient:")
+            print(f"({d} ± {d_err}) {args.output_unit}")
+    else:
+        m, m_err = bootstrap_slope(
+            data,
+            n_boot=args.n_boot,
+            length_unit=args.length_unit,
+            time_unit=args.time_unit,
+            output_unit=args.output_unit,
+        )
+        print(f"bootstrap slope: ({m} ± {m_err}) {args.output_unit}")
+
+
+if __name__ == "__main__":
+    main()

@@ -194,6 +194,7 @@ class EngineSection:
     block_size: int = 256
     sweeps: Optional[int] = None  # total frames; None = full trajectory
     mesh_axis: str = "replica"
+    jumpmatrix_filename: Optional[str] = None  # legacy jumpmatrix capability
 
 
 _SECTIONS = {

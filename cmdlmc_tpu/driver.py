@@ -167,6 +167,11 @@ class Simulation:
         self.dt = float(cfg.kmc.time_step or cfg.trajectory.time_step)
         self.box_mult = tuple(cfg.atombox.box_multiplier)
         self._mult_total = int(np.prod(self.box_mult))
+        # jump-statistics knobs (jumpstat CLI / jumpmatrix capability)
+        self.hist_bins = 0
+        self.hist_range = (2.0, 3.0)
+        self.track_jump_matrix = bool(cfg.engine.jumpmatrix_filename)
+        self.final_states = None
 
     # -- streaming --------------------------------------------------------------
 
@@ -238,6 +243,8 @@ class Simulation:
                     n_sites,
                     cfg.kmc.proton_number,
                     frames.donors[0],
+                    hist_bins=self.hist_bins,
+                    track_jump_matrix=self.track_jump_matrix,
                 )
                 keys = jax.random.split(
                     jax.random.fold_in(key, 1), cfg.engine.replicas
@@ -251,6 +258,7 @@ class Simulation:
                 dt=self.dt,
                 max_events=cfg.engine.max_events_per_frame,
                 reset_frequency=cfg.output.reset_frequency,
+                hist_range=tuple(self.hist_range),
             )
             rows = jax.device_get(rows)
             for i in range(block.n_frames):
@@ -352,6 +360,13 @@ class Simulation:
                     f"{r.autocorr_var:8.2f}",
                 ]
             print(" ".join(cols), file=out, flush=True)
+        if self.track_jump_matrix and self.final_states is not None:
+            jumpmatrix = np.asarray(self.final_states.jump_matrix).sum(axis=0)
+            np.save(cfg.engine.jumpmatrix_filename, jumpmatrix)
+            print(
+                f"# jump matrix saved to {cfg.engine.jumpmatrix_filename}",
+                file=out,
+            )
 
 
 def config_echo(cfg: SimulationConfig) -> list[str]:
