@@ -1,0 +1,162 @@
+"""Water (single-excess-proton) model tests: relaxation blend, waiting time,
+back-jump rescaling, d_OH correction, event statistics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cmdlmc_tpu.core.cell import Cell
+from cmdlmc_tpu.models import water as wm
+from cmdlmc_tpu.rates.laws import Constant, Fermi
+from cmdlmc_tpu.topo.transforms import LinearTransformation
+
+
+def make_model(**kw):
+    defaults = dict(
+        cell=Cell.cubic([50.0, 50.0, 50.0]),
+        law=Fermi(a=jnp.float32(0.1), b=jnp.float32(2.4), c=jnp.float32(0.2)),
+        transform=None,
+        d_oh=jnp.float32(0.0),
+        n_atoms=3,
+    )
+    defaults.update(kw)
+    return wm.WaterModel(**defaults)
+
+
+def line_positions(n=6, spacing=2.5):
+    return jnp.asarray(
+        np.array([[spacing * i, 0, 0] for i in range(n)], dtype=np.float32)
+    )
+
+
+def run(model, positions, n_frames, n_replicas=16, dt=0.5, seed=0, start=0):
+    key = jax.random.key(seed)
+    states = wm.init_water_states(
+        jax.random.fold_in(key, 0), n_replicas, positions.shape[0], positions,
+        start_position=start,
+    )
+    keys = jax.random.split(jax.random.fold_in(key, 1), n_replicas)
+    block = jnp.broadcast_to(positions, (n_frames, *positions.shape))
+    idx = jnp.arange(n_frames, dtype=jnp.int32)
+    return wm.run_water_block(model, states, keys, block, idx, dt=dt)
+
+
+def test_shared_topology_k_nearest():
+    model = make_model()
+    pos = line_positions()
+    dist, resc, nbr = wm.water_shared(model, pos)
+    assert dist.shape == (6, 3)
+    # interior site 2: nearest are 1, 3 (2.5), then 0 or 4 (5.0)
+    assert set(np.asarray(nbr)[2][:2]) == {1, 3}
+    np.testing.assert_allclose(np.asarray(dist)[2][:2], [2.5, 2.5], rtol=1e-5)
+
+
+def test_event_rate_constant_law():
+    """With a constant law the proton jumps at rate 3a regardless of geometry."""
+    a = 0.03
+    model = make_model(law=Constant(a=jnp.float32(a)))
+    pos = line_positions()
+    n_frames, n_replicas, dt = 3000, 32, 0.5
+    states, sites, msd = run(model, pos, n_frames, n_replicas, dt)
+    counts = np.asarray(states.clock.event_count, float)
+    expected = 3 * a * dt * n_frames
+    z = (counts.mean() - expected) / np.sqrt(expected / n_replicas)
+    assert abs(z) < 5
+
+
+def test_waiting_time_suppresses_jump_rate():
+    a = 0.05
+    base = make_model(law=Constant(a=jnp.float32(a)))
+    waiting = make_model(law=Constant(a=jnp.float32(a)), waiting_time=20)
+    pos = line_positions()
+    s_base, _, _ = run(base, pos, 2000, 32)
+    s_wait, _, _ = run(waiting, pos, 2000, 32)
+    c_base = np.asarray(s_base.clock.event_count, float).mean()
+    c_wait = np.asarray(s_wait.clock.event_count, float).mean()
+    # With waiting time w and rate R, mean inter-event gap grows from 1/(R dt)
+    # to w + 1/(R dt) frames: here 13.3 -> 33.3, i.e. ~2.5x fewer events.
+    assert c_wait < 0.6 * c_base
+    ratio_expected = (1 / (3 * a * 0.5)) / (20 + 1 / (3 * a * 0.5))
+    assert c_wait / c_base == pytest.approx(ratio_expected, rel=0.25)
+
+
+def test_relaxation_blends_rates_after_jump():
+    """Directly probe _candidates: right after a jump the distances must be the
+    raw ones, after >= relaxation_time frames the rescaled ones."""
+    transform = LinearTransformation(
+        a=jnp.float32(0.5), b=jnp.float32(0.5),
+        left_bound=jnp.float32(0.0), right_bound=jnp.float32(10.0),
+    )
+    model = make_model(transform=transform, relaxation_time=10)
+    pos = line_positions()
+    shared = wm.water_shared(model, pos)
+
+    def rates_at(fsj):
+        r, _ = wm._candidates(
+            model, shared,
+            (jnp.int32(2), jnp.int32(-1), jnp.int32(fsj), jnp.int32(0)),
+        )
+        return np.asarray(r)
+
+    fermi = lambda d: 0.1 / (1 + np.exp((d - 2.4) / 0.2))
+    # raw 2.5 -> rescaled 1.75
+    np.testing.assert_allclose(rates_at(0)[:2], fermi(2.5), rtol=1e-3)
+    np.testing.assert_allclose(rates_at(1000)[:2], fermi(1.75), rtol=1e-3)
+    mid = rates_at(5)[:2]
+    assert np.all(mid > fermi(2.5)) and np.all(mid < fermi(1.75))
+
+
+def test_keep_last_neighbor_rescaled_overrides_relaxation():
+    transform = LinearTransformation(
+        a=jnp.float32(0.5), b=jnp.float32(0.5),
+        left_bound=jnp.float32(0.0), right_bound=jnp.float32(10.0),
+    )
+    model = make_model(
+        transform=transform, relaxation_time=10, keep_last_neighbor_rescaled=True
+    )
+    pos = line_positions()
+    shared = wm.water_shared(model, pos)
+    _, _, nbr = shared
+    # site 2 just jumped from site 1 (fsj=0): the rate back to 1 must use the
+    # rescaled distance, the rate to 3 the raw one.
+    rates, cands = wm._candidates(
+        model, shared, (jnp.int32(2), jnp.int32(1), jnp.int32(0), jnp.int32(0))
+    )
+    rates = np.asarray(rates)
+    cands = np.asarray(cands)
+    fermi = lambda d: 0.1 / (1 + np.exp((d - 2.4) / 0.2))
+    back = rates[cands == 1][0]
+    fwd = rates[cands == 3][0]
+    assert back == pytest.approx(fermi(1.75), rel=1e-3)
+    assert fwd == pytest.approx(fermi(2.5), rel=1e-3)
+
+
+def test_doh_correction_accumulates_along_jumps():
+    model = make_model(law=Constant(a=jnp.float32(0.05)), d_oh=jnp.float32(0.3))
+    pos = line_positions()
+    states, sites, _ = run(model, pos, 1500, 8)
+    jumps = np.asarray(states.jumps)
+    corr = np.asarray(states.correction)
+    moved = jumps > 0
+    assert moved.any()
+    # every jump contributes a vector of length 2*d_oh = 0.6 along x
+    assert np.all(np.abs(corr[moved][:, 0]) > 0)
+    np.testing.assert_allclose(corr[:, 1:], 0.0, atol=1e-5)
+    # correction magnitude is a multiple of 0.6 (all jumps along the line)
+    steps = np.abs(corr[moved][:, 0]) / 0.6
+    np.testing.assert_allclose(steps, np.round(steps), atol=1e-3)
+
+
+def test_msd_grows_linearly():
+    # 10 sites on a periodic ring (box length = n * spacing) so the walk is
+    # unbounded and the MSD grows linearly instead of saturating.
+    model = make_model(
+        law=Constant(a=jnp.float32(0.05)), cell=Cell.cubic([25.0, 25.0, 25.0])
+    )
+    pos = line_positions(n=10)
+    states, sites, msd = run(model, pos, 4000, 64)
+    msd_sum = np.asarray(msd).sum(axis=1)
+    # random walk: msd at 4000 frames ~ 2x msd at 2000 frames (within noise)
+    ratio = msd_sum[3999] / msd_sum[1999]
+    assert 1.4 < ratio < 2.8
