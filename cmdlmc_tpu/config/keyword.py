@@ -1,0 +1,196 @@
+"""Legacy keyword-per-line config system.
+
+Re-provides the reference's second config generation (IO/config_parser.py:
+13-561): one ``key value...`` pair per line, ``#`` comments, per-key parse
+functions, defaults and help strings, with two schemas — ``cMDLMC`` (the
+multi-proton solid-acid scheme) and ``KMCWater`` (the single-excess-proton
+water scheme) — plus the ``config_help`` / ``config_file`` introspection
+surface (print_confighelp / print_config_template, config_parser.py:97-126).
+"""
+
+from __future__ import annotations
+
+import textwrap
+from types import SimpleNamespace
+
+import numpy as np
+
+
+def parse_int(tokens):
+    return int(float(tokens[0]))
+
+
+def parse_float(tokens):
+    return float(tokens[0])
+
+
+def parse_string(tokens):
+    return tokens[0]
+
+
+def parse_bool(tokens):
+    return tokens[0].lower() in ("true", "1", "yes", "on")
+
+
+def parse_floats(tokens):
+    return np.array([float(t) for t in tokens])
+
+
+def parse_ints(tokens):
+    return [int(t) for t in tokens]
+
+
+def parse_dict(tokens):
+    """``a=1 b=2`` or ``a 1 b 2`` -> dict of floats."""
+    out = {}
+    if any("=" in t for t in tokens):
+        for t in tokens:
+            k, _, v = t.partition("=")
+            out[k] = float(v)
+    else:
+        for k, v in zip(tokens[::2], tokens[1::2]):
+            out[k] = float(v)
+    return out
+
+
+NO_DEFAULT = object()
+
+# (key, parse_fct, default, help)
+_COMMON = [
+    ("filename", parse_string, NO_DEFAULT, "Trajectory file (xyz or HDF5)."),
+    ("pbc", parse_floats, NO_DEFAULT,
+     "Periodic boundaries: 3 values (orthogonal) or 9 (full cell vectors)."),
+    ("md_timestep_fs", parse_float, NO_DEFAULT, "Time between two MD frames in fs."),
+    ("sweeps", parse_int, NO_DEFAULT, "Number of KMC sweeps (frames) to run."),
+    ("print_frequency", parse_int, 1, "Print output every n frames."),
+    ("seed", parse_int, 0, "RNG seed (threefry; every replica derives from it)."),
+    ("verbose", parse_bool, False, "Verbose output."),
+    ("xyz_output", parse_bool, False, "Print xyz frames instead of columns."),
+    ("replicas", parse_int, 1,
+     "Number of vmapped independent KMC replicas (TPU extension)."),
+]
+
+CONFIG_SCHEMAS: dict[str, list] = {
+    "cMDLMC": _COMMON + [
+        ("equilibration_sweeps", parse_int, 0, "Discarded sweeps before output."),
+        ("reset_freq", parse_int, 0, "Reset observables every n frames."),
+        ("proton_number", parse_int, NO_DEFAULT, "Number of protons on the lattice."),
+        ("lattice_size", parse_int, NO_DEFAULT, "Number of donor sites."),
+        ("box_multiplier", parse_ints, [1, 1, 1],
+         "Extend the LMC box along one or more dimensions."),
+        ("donor_atoms", parse_string, "O", "Donor/acceptor atom type."),
+        ("jumprate_type", parse_string, "MD_rates",
+         "MD_rates (Fermi), AE_rates (Arrhenius activation energy) or "
+         "Exponential_rates."),
+        ("jumprate_params_fs", parse_dict, NO_DEFAULT,
+         "Fermi: a b c — omega(d) = a / (1 + exp((d - b) / c)). "
+         "AE: A a b d0 T — E(d) = a (d - d0)/sqrt(b + 1/(d - d0)^2), "
+         "omega = A exp(-E/(kB T)). Exponential: a b — omega = a exp(b d)."),
+        ("cutoff_radius", parse_float, 3.0, "Neighbor cutoff in Angstrom."),
+        ("neighbor_search_radius", parse_float, 5.0,
+         "Cutoff + buffer used when building the topology."),
+        ("angle_threshold", parse_float, 0.0,
+         "Minimum P-O-O angle (radians); 0 disables angle gating."),
+        ("jumpmatrix_filename", parse_string, None,
+         "If given, save the pairwise jump-count matrix here."),
+        ("higher_msd", parse_bool, False, "Also compute msd^4 (reserved)."),
+        ("variance_per_proton", parse_bool, False,
+         "Print across-replica variance columns."),
+    ],
+    "KMCWater": _COMMON + [
+        ("relaxation_time", parse_int, 0,
+         "Frames over which rates blend from unrescaled to rescaled distances "
+         "after a jump."),
+        ("waiting_time", parse_int, 0, "Frames of zero jump rate after a jump."),
+        ("jumprate_params_fs", parse_dict, NO_DEFAULT,
+         "Fermi parameters a b c of the jump rate."),
+        ("rescale_function", parse_string, "none",
+         "Distance rescaling: linear, ramp, or none."),
+        ("rescale_parameters", parse_dict, {},
+         "Parameters of the rescale function (a, b, d0, left_bound, right_bound)."),
+        ("conversion_data", parse_string, None,
+         "File with tabulated distance conversion (overrides rescale_function)."),
+        ("d_oh", parse_float, 0.0,
+         "O-H bond length correction applied along each jump."),
+        ("start_position", parse_int, None,
+         "Starting oxygen index; random if unset."),
+        ("n_atoms", parse_int, 3, "Neighbors per site (3 or 4)."),
+        ("keep_last_neighbor_rescaled", parse_bool, False,
+         "Keep the connection to the previous oxygen rescaled."),
+        ("check_from_old", parse_bool, False,
+         "Also check the old oxygen's neighbor list for a back connection."),
+    ],
+}
+
+
+def load_configfile(path_or_file, config_name: str = "cMDLMC") -> SimpleNamespace:
+    """Parse a keyword config file into a namespace with defaults applied
+    (config_parser.py:60-94)."""
+    schema = CONFIG_SCHEMAS[config_name]
+    keys = {k: (parse, default) for k, parse, default, _ in schema}
+    settings = {}
+    if hasattr(path_or_file, "read"):
+        lines = path_or_file.read().splitlines()
+    else:
+        with open(path_or_file) as f:
+            lines = f.read().splitlines()
+    for lineno, line in enumerate(lines, 1):
+        line = line.split("#")[0].strip()
+        if not line:
+            continue
+        tokens = line.split()
+        key, args = tokens[0], tokens[1:]
+        if key not in keys:
+            raise KeyError(f"Unknown keyword {key!r} on line {lineno}")
+        parse, _ = keys[key]
+        settings[key] = None if args == ["None"] else parse(args)
+    for k, (parse, default) in keys.items():
+        if k not in settings:
+            if default is NO_DEFAULT:
+                raise ValueError(f"Missing required keyword {k!r}")
+            settings[k] = default
+    return SimpleNamespace(**settings)
+
+
+def print_confighelp(config_name: str = "cMDLMC", out=None):
+    """Help text for every keyword (config_parser.py:97-114)."""
+    import sys
+
+    out = out or sys.stdout
+    for key, _, default, help_ in CONFIG_SCHEMAS[config_name]:
+        default_str = "(required)" if default is NO_DEFAULT else f"default: {default}"
+        print(f"{key}", file=out)
+        print(textwrap.indent(textwrap.fill(help_, 70), "    "), file=out)
+        print(f"    {default_str}\n", file=out)
+
+
+def print_config_template(config_name: str = "cMDLMC", sorted_: bool = False, out=None):
+    """Commented config template (config_parser.py:117-126)."""
+    import sys
+
+    out = out or sys.stdout
+    schema = CONFIG_SCHEMAS[config_name]
+    if sorted_:
+        schema = sorted(schema, key=lambda e: e[0])
+    for key, _, default, help_ in schema:
+        print(f"# {help_}", file=out)
+        if default is NO_DEFAULT:
+            print(f"{key}  # REQUIRED", file=out)
+        else:
+            if isinstance(default, dict):
+                default_str = " ".join(f"{k}={v}" for k, v in default.items())
+            elif isinstance(default, (list, tuple, np.ndarray)):
+                default_str = " ".join(str(v) for v in default)
+            else:
+                default_str = str(default)
+            print(f"{key} {default_str}".rstrip(), file=out)
+        print(file=out)
+
+
+def print_settings(settings: SimpleNamespace, out=None):
+    """Echo all settings as '#' comments (config_parser.py:136-148)."""
+    import sys
+
+    out = out or sys.stdout
+    for k in sorted(vars(settings)):
+        print(f"# {k} {getattr(settings, k)}", file=out)
