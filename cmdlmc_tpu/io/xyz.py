@@ -58,8 +58,20 @@ def _parse_batch(body_lines: list[str], n_atoms: int):
     """Tokenize a batch of frame bodies (header lines already stripped).
 
     Returns (names [n_atoms] from the first frame, positions [F, n_atoms, 3]).
+    Uses the native C++ tokenizer when available; numpy string ops otherwise.
     """
-    tokens = np.array(" ".join(body_lines).split())
+    from cmdlmc_tpu import native
+
+    total_atoms = len(body_lines)
+    text = "".join(body_lines).encode()
+    result = native.parse_atom_lines(text, total_atoms, n_atoms)
+    if result is not None:
+        names, pos = result
+        if pos.shape[0] == total_atoms:
+            return names, pos.reshape(-1, n_atoms, 3)
+        logger.warning("Native parser returned %d/%d atoms; falling back",
+                       pos.shape[0], total_atoms)
+    tokens = np.array(text.decode().split())
     tokens = tokens.reshape(-1, 4)
     names = tokens[:n_atoms, 0].astype("U4")
     positions = tokens[:, 1:].astype(np.float32).reshape(-1, n_atoms, 3)
