@@ -1,0 +1,73 @@
+"""Checkpoint / resume of simulation state.
+
+The reference has no simulation-state persistence at all (SURVEY.md §5.4 —
+closest thing is HDF5 caching of derived data). Here the full replica batch
+(lattice occupancy, clock, observables, RNG keys, stream position) round-trips
+through a single ``.npz``: because the engine's draw streams are keyed by event
+ordinal, a resumed run continues bit-exactly where it left off (the same
+property that makes host chunking invisible — engine/clock.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _flatten(prefix: str, obj, out: dict):
+    if dataclasses.is_dataclass(obj):
+        for f in dataclasses.fields(obj):
+            _flatten(f"{prefix}{f.name}.", getattr(obj, f.name), out)
+    else:
+        out[prefix.rstrip(".")] = np.asarray(obj)
+
+
+def _rebuild(cls, prefix: str, data: dict):
+    kwargs = {}
+    for f in cls.__dataclass_fields__.values():
+        key = f"{prefix}{f.name}"
+        if any(k.startswith(key + ".") for k in data):
+            # nested dataclass — currently only the clock
+            from cmdlmc_tpu.engine.clock import ClockState
+
+            kwargs[f.name] = _rebuild(ClockState, key + ".", data)
+        else:
+            kwargs[f.name] = jax.numpy.asarray(data[key])
+    return cls(**kwargs)
+
+
+def save_checkpoint(path: str, states, keys, next_frame: int, meta: dict | None = None):
+    """Persist replica states + RNG keys + stream position to ``path`` (.npz)."""
+    out: dict[str, Any] = {}
+    _flatten("state.", jax.device_get(states), out)
+    out["keys"] = np.asarray(jax.random.key_data(keys))
+    out["next_frame"] = np.int64(next_frame)
+    out["state_class"] = np.bytes_(type(states).__name__.encode())
+    if meta:
+        for k, v in meta.items():
+            out[f"meta.{k}"] = np.asarray(v)
+    np.savez_compressed(path, **out)
+
+
+def load_checkpoint(path: str):
+    """Returns (states, keys, next_frame, meta)."""
+    from cmdlmc_tpu.engine.lattice import ReplicaState
+    from cmdlmc_tpu.models.water import WaterState
+
+    with np.load(path) as f:
+        data = {k: f[k] for k in f.files}
+    cls_name = bytes(data.pop("state_class")).decode()
+    cls = {"ReplicaState": ReplicaState, "WaterState": WaterState}[cls_name]
+    state_data = {
+        k[len("state."):]: v for k, v in data.items() if k.startswith("state.")
+    }
+    states = _rebuild(cls, "", state_data)
+    keys = jax.random.wrap_key_data(jax.numpy.asarray(data["keys"]))
+    next_frame = int(data["next_frame"])
+    meta = {
+        k[len("meta."):]: v for k, v in data.items() if k.startswith("meta.")
+    }
+    return states, keys, next_frame, meta
