@@ -329,11 +329,18 @@ class Simulation:
         self.final_states = states
 
     def run(self, out=None):
+        import time as _time
+
         out = out or sys.stdout
         cfg = self.cfg
-        print(f"# cmdlmc_tpu {__version__}", file=out)
+        from cmdlmc_tpu.utils.version import version_lines
+
+        for line in version_lines():
+            print(line, file=out)
         for line in config_echo(cfg):
             print(line, file=out)
+        run_start = _time.time()
+        frames_done = 0
         if cfg.output.type_ == "XYZOutput":
             for row in self.xyz_rows():
                 print(row, file=out)
@@ -343,6 +350,7 @@ class Simulation:
             header += ["MSD_var_x", "MSD_var_y", "MSD_var_z", "Autocorr_var"]
         print("# " + " ".join(f"{h:>12}" for h in header), file=out)
         for r in self.observable_rows():
+            frames_done = r.frame + 1
             cols = [
                 f"{r.frame:12d}",
                 f"{r.time:14.2f}",
@@ -365,6 +373,16 @@ class Simulation:
             np.save(cfg.engine.jumpmatrix_filename, jumpmatrix)
             print(
                 f"# jump matrix saved to {cfg.engine.jumpmatrix_filename}",
+                file=out,
+            )
+        # first-class perf meter (SURVEY.md §5.1: fps + site-updates/s column)
+        elapsed = max(_time.time() - run_start, 1e-9)
+        if frames_done and self.final_states is not None:
+            n_sites = self.final_states.occ.shape[-1]
+            fps = frames_done / elapsed
+            print(
+                f"# perf: {fps:.1f} frames/s, "
+                f"{fps * cfg.engine.replicas * n_sites:.3e} site-updates/s",
                 file=out,
             )
 
