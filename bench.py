@@ -79,12 +79,18 @@ def main():
 
     dt = 0.5
 
+    def sync(x):
+        # jax.block_until_ready is unreliable on tunneled backends; a host
+        # fetch of a value depending on the whole computation is the only
+        # trustworthy barrier.
+        return float(np.asarray(x).ravel()[0])
+
     # Warmup / compile
     blk = frames_for(0)
     states, rows = eng.run_block(
         model, cell, states, keys, blk, dt=dt, max_events=args.max_events
     )
-    jax.block_until_ready(rows.msd_mean)
+    sync(rows.msd_mean)
 
     t0 = time.perf_counter()
     total_frames = 0
@@ -94,7 +100,7 @@ def main():
             model, cell, states, keys, blk, dt=dt, max_events=args.max_events
         )
         total_frames += args.block_frames
-    jax.block_until_ready(rows.msd_mean)
+    sync(rows.msd_mean)
     elapsed = time.perf_counter() - t0
 
     site_updates = args.sites * args.replicas * total_frames

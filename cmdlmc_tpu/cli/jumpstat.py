@@ -43,8 +43,8 @@ def main(argv=None):
         pass
     states = sim.final_states
 
-    jumps = np.asarray(states.jump_hist).sum(axis=0)
-    opp = np.asarray(states.opportunity_hist).sum(axis=0)
+    jumps = np.asarray(states.replicas.jump_hist).sum(axis=0)
+    opp = np.asarray(states.replicas.opportunity_hist).sum(axis=0)
     edges = np.linspace(args.range[0], args.range[1], args.bins + 1)
     centers = 0.5 * (edges[:-1] + edges[1:])
     dt = sim.dt

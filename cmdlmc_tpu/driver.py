@@ -259,6 +259,7 @@ class Simulation:
                 max_events=cfg.engine.max_events_per_frame,
                 reset_frequency=cfg.output.reset_frequency,
                 hist_range=tuple(self.hist_range),
+                emit_every=cfg.output.print_frequency,
             )
             rows = jax.device_get(rows)
             for i in range(block.n_frames):
@@ -369,7 +370,7 @@ class Simulation:
                 ]
             print(" ".join(cols), file=out, flush=True)
         if self.track_jump_matrix and self.final_states is not None:
-            jumpmatrix = np.asarray(self.final_states.jump_matrix).sum(axis=0)
+            jumpmatrix = np.asarray(self.final_states.replicas.jump_matrix).sum(axis=0)
             np.save(cfg.engine.jumpmatrix_filename, jumpmatrix)
             print(
                 f"# jump matrix saved to {cfg.engine.jumpmatrix_filename}",
@@ -378,7 +379,7 @@ class Simulation:
         # first-class perf meter (SURVEY.md §5.1: fps + site-updates/s column)
         elapsed = max(_time.time() - run_start, 1e-9)
         if frames_done and self.final_states is not None:
-            n_sites = self.final_states.occ.shape[-1]
+            n_sites = self.final_states.replicas.occ.shape[-1]
             fps = frames_done / elapsed
             print(
                 f"# perf: {fps:.1f} frames/s, "

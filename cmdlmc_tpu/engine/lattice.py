@@ -59,8 +59,7 @@ def _pytree(cls=None, *, data_fields, meta_fields=()):
         "t_last_jump",
         "clock",
         "jumps",
-        "snapshot",
-        "displacement",
+        "disp_base",
         "autocorr_ref",
         "jump_hist",
         "opportunity_hist",
@@ -78,8 +77,12 @@ class ReplicaState:
                             never (HydroniumTopology state, topology.py:211)
     clock          ClockState  the time-dependent KMC clock
     jumps          i32      events since the last observable reset
-    snapshot       f32[P,3] proton positions at the previous frame (MSD)
-    displacement   f32[P,3] accumulated PBC-aware displacement since reset
+    disp_base      f32[P,3] jump-rebased displacement offset: the proton's total
+                            PBC-unwrapped displacement since reset is
+                            disp_base + site_disp[site] (site_disp is the shared
+                            per-site displacement prefix sum carried by the
+                            ensemble) — so the per-frame MSD bookkeeping costs
+                            nothing per replica except on jump events
     autocorr_ref   i32[P]   site of each proton at the last reset
     jump_hist      i32[B]   distance-binned jump counts (jumpstat; B=0 disables)
     opportunity_hist f32[B] distance-binned allowed-transition exposure, in
@@ -95,8 +98,7 @@ class ReplicaState:
     t_last_jump: Array
     clock: ClockState
     jumps: Array
-    snapshot: Array
-    displacement: Array
+    disp_base: Array
     autocorr_ref: Array
     jump_hist: Array
     opportunity_hist: Array
@@ -128,6 +130,20 @@ class ObsRow:
     events_mean: Array
 
 
+@_pytree(data_fields=["replicas", "site_disp", "prev_pos"])
+class EnsembleState:
+    """Replica batch plus the shared trajectory-displacement carry.
+
+    site_disp f32[N,3] — prefix sum of per-frame minimum-image donor-site
+    displacements (identical for every replica; the key to O(events) instead of
+    O(P) per-frame MSD bookkeeping). prev_pos f32[N,3] — donor positions of the
+    previous frame."""
+
+    replicas: ReplicaState
+    site_disp: Array
+    prev_pos: Array
+
+
 def init_replicas(
     key: Array,
     n_replicas: int,
@@ -137,7 +153,7 @@ def init_replicas(
     *,
     hist_bins: int = 0,
     track_jump_matrix: bool = False,
-) -> ReplicaState:
+) -> EnsembleState:
     """Random-occupancy initialization, the vmapped analog of the reference's
     shuffled label array (MDMC.py:68-72) — but with explicit keys instead of
     global RNG state (the reference's unseeded gap, SURVEY.md §5.2).
@@ -152,7 +168,6 @@ def init_replicas(
         occ = jnp.zeros((n_sites,), jnp.float32).at[sites].set(1.0)
         labels = jnp.arange(1, n_protons + 1, dtype=jnp.int32)
         proton_of_site = jnp.zeros((n_sites,), jnp.int32).at[sites].set(labels)
-        snapshot = first_positions[sites]
         return ReplicaState(
             occ=occ,
             proton_of_site=proton_of_site,
@@ -160,15 +175,20 @@ def init_replicas(
             t_last_jump=-jnp.ones((n_protons,), jnp.float32),
             clock=kmc_clock.init_clock(jax.random.fold_in(k, 7)),
             jumps=jnp.int32(0),
-            snapshot=snapshot,
-            displacement=jnp.zeros((n_protons, 3), jnp.float32),
+            disp_base=jnp.zeros((n_protons, 3), jnp.float32),
             autocorr_ref=sites,
             jump_hist=jnp.zeros((hist_bins,), jnp.int32),
             opportunity_hist=jnp.zeros((hist_bins,), jnp.float32),
             jump_matrix=jnp.zeros((jm, jm), jnp.int32),
         )
 
-    return jax.vmap(init_one)(jax.random.split(key, n_replicas))
+    replicas = jax.vmap(init_one)(jax.random.split(key, n_replicas))
+    first = jnp.asarray(first_positions, jnp.float32)
+    return EnsembleState(
+        replicas=replicas,
+        site_disp=jnp.zeros((n_sites, 3), jnp.float32),
+        prev_pos=first,
+    )
 
 
 def _hist_bin(dist: Array, hist_range: tuple[float, float], n_bins: int) -> Array:
@@ -197,70 +217,82 @@ def _site_residence(occ, proton_of_site, t_last_jump, time):
     return jnp.where(occupied & ~never, time - t_last, -1.0)
 
 
-def _allowed_and_total(model, shared, aux, time):
-    """Total allowed jump rate and the pieces needed for selection."""
-    occ = aux[0]
-    proton_of_site = aux[1]
-    t_last = aux[3]
-    if isinstance(shared, DenseShared):
-        out_rates = shared.W @ (1.0 - occ)  # [N]
-        row_rates = occ * out_rates
-        return row_rates.sum(), ("dense", row_rates, shared.W, shared.dist)
+def _cdf_pick(weights: Array, key: Array) -> Array:
+    """Inverse-CDF categorical draw: exactly the reference's cumsum / uniform /
+    searchsorted (MDMC.py:109-113), one uniform per draw — two orders of
+    magnitude less RNG work per frame than a Gumbel draw over the weights."""
+    total = weights.sum()
+    u = jax.random.uniform(key, dtype=weights.dtype) * total
+    cdf = jnp.cumsum(weights)
+    return jnp.minimum(jnp.sum(cdf < u), weights.shape[0] - 1).astype(jnp.int32)
+
+
+def _topk_allowed(model, shared, aux, time):
+    occ, proton_of_site, _, t_last = aux[0], aux[1], aux[2], aux[3]
     residence = _site_residence(occ, proton_of_site, t_last, time)
     omega, nbr, valid = model.replica_omega(shared, residence)
     allowed = omega * occ[:, None] * (1.0 - occ[nbr])
-    return allowed.sum(), ("topk", allowed, nbr, shared.dist)
-
-
-def _select_transition(select_info, occ, key):
-    """Draw (source, destination) with probability proportional to the allowed
-    pair rate — exactly the distribution of the reference's cumsum/searchsorted
-    (MDMC.py:109-113), factored as P(s) * P(d | s). Also returns the raw pair
-    distance of the chosen transition (for jump statistics)."""
-    kind = select_info[0]
-    if kind == "dense":
-        _, row_rates, W, dist = select_info
-        k1, k2 = jax.random.split(key)
-        src = jax.random.categorical(k1, jnp.log(row_rates))
-        dst_rates = W[src] * (1.0 - occ)
-        dst = jax.random.categorical(k2, jnp.log(dst_rates))
-        return src.astype(jnp.int32), dst.astype(jnp.int32), dist[src, dst]
-    _, allowed, nbr, dist = select_info
-    n, kk = allowed.shape
-    flat_idx = jax.random.categorical(key, jnp.log(allowed.reshape(-1)))
-    src = (flat_idx // kk).astype(jnp.int32)
-    dst = nbr.reshape(-1)[flat_idx].astype(jnp.int32)
-    return src, dst, dist.reshape(-1)[flat_idx]
+    return allowed, nbr
 
 
 def _replica_frame_step(
-    model, frame, dt, max_events, hist_range, state: ReplicaState, key
+    model, frame, site_disp, dt, max_events, hist_range, state: ReplicaState, key
 ):
     """Advance one replica across one MD frame. ``key`` must be unique per
     replica but MUST NOT vary with the frame (the clock folds in event ordinals,
-    keeping the draw stream chunking-invariant — see engine/clock.py)."""
+    keeping the draw stream chunking-invariant — see engine/clock.py).
+
+    Dense path: ONE [N, N] mat-vec per frame establishes the per-site outgoing
+    rate vector ``out[i] = sum_j W_ij (1 - occ_j)``; in-frame events update it
+    incrementally in O(N) (freeing site s adds column W[:, s], filling site d
+    subtracts W[:, d]) — the total-rate reduction the clock needs is then just
+    ``sum(occ * out)`` per iteration instead of a fresh matmul."""
     shared = model.shared(frame)
     n_bins = state.jump_hist.shape[0]
     track_matrix = state.jump_matrix.shape[0] > 0
+    dense = isinstance(shared, DenseShared)
+    if dense:
+        W = shared.W
+        WT = shared.W.T
+        out0 = W @ (1.0 - state.occ)
+    else:
+        out0 = jnp.zeros((0,), jnp.float32)  # unused
 
     aux = (
         state.occ,
         state.proton_of_site,
         state.site_of_proton,
         state.t_last_jump,
+        out0,
         state.jumps,
         state.jump_hist,
         state.jump_matrix,
+        state.disp_base,
     )
 
     def rate_fn(aux):
-        total, _ = _allowed_and_total(model, shared, aux, frame.time)
-        return total
+        occ, out = aux[0], aux[4]
+        if dense:
+            return (occ * out).sum()
+        allowed, _ = _topk_allowed(model, shared, aux, frame.time)
+        return allowed.sum()
 
     def apply_fn(aux, event_key, event_phase):
-        occ, proton_of_site, site_of_proton, t_last, jumps, hist, jmat = aux
-        _, select_info = _allowed_and_total(model, shared, aux, frame.time)
-        src, dst, d_evt = _select_transition(select_info, occ, event_key)
+        (occ, proton_of_site, site_of_proton, t_last, out, jumps, hist, jmat,
+         disp_base) = aux
+        k1, k2 = jax.random.split(event_key)
+        if dense:
+            src = _cdf_pick(occ * out, k1)
+            dst = _cdf_pick(W[src] * (1.0 - occ), k2)
+            d_evt = shared.dist[src, dst]
+            out = out + WT[src] - WT[dst]
+        else:
+            allowed, nbr = _topk_allowed(model, shared, aux, frame.time)
+            kk = allowed.shape[1]
+            flat = _cdf_pick(allowed.reshape(-1), k1)
+            src = (flat // kk).astype(jnp.int32)
+            dst = nbr.reshape(-1)[flat].astype(jnp.int32)
+            d_evt = shared.dist.reshape(-1)[flat]
         label = proton_of_site[src]
         p_idx = jnp.maximum(label - 1, 0)
         t_event = frame.time + event_phase
@@ -268,12 +300,22 @@ def _replica_frame_step(
         proton_of_site = proton_of_site.at[src].set(0).at[dst].set(label)
         site_of_proton = site_of_proton.at[p_idx].set(dst)
         t_last = t_last.at[p_idx].set(t_event)
+        # MSD rebase: total displacement stays continuous through the jump
+        # (disp = disp_base + site_disp[site]); the jump vector itself is the
+        # minimum-image src -> dst connection at this frame (output.py:35-43).
+        jump_vec = cell_displacement(
+            model.cell, frame.donors[src], frame.donors[dst]
+        )
+        disp_base = disp_base.at[p_idx].add(
+            site_disp[src] - site_disp[dst] + jump_vec
+        )
         if n_bins > 0:
             inc = _hist_in_range(d_evt, hist_range).astype(jnp.int32)
             hist = hist.at[_hist_bin(d_evt, hist_range, n_bins)].add(inc)
         if track_matrix:
             jmat = jmat.at[src, dst].add(1)
-        return occ, proton_of_site, site_of_proton, t_last, jumps + 1, hist, jmat
+        return (occ, proton_of_site, site_of_proton, t_last, out,
+                jumps + 1, hist, jmat, disp_base)
 
     new_clock, aux, n_fired = kmc_clock.frame_step(
         state.clock,
@@ -285,7 +327,8 @@ def _replica_frame_step(
         key=key,
         max_events=max_events,
     )
-    occ, proton_of_site, site_of_proton, t_last, jumps, hist, jmat = aux
+    (occ, proton_of_site, site_of_proton, t_last, _, jumps, hist, jmat,
+     disp_base) = aux
 
     opp = state.opportunity_hist
     if n_bins > 0:
@@ -318,40 +361,10 @@ def _replica_frame_step(
             jump_hist=hist,
             jump_matrix=jmat,
             opportunity_hist=opp,
+            disp_base=disp_base,
         ),
         n_fired,
     )
-
-
-def _update_observables(cell: Cell, frame, reset: Array, state: ReplicaState):
-    """Reference observable bookkeeping (LMC/output.py, MDMC.py:179-208): on
-    reset frames zero the displacement/jump counters and re-snapshot the
-    autocorrelation reference; every frame accumulate the PBC-aware proton
-    displacement."""
-    sites = state.site_of_proton
-    disp = jnp.where(reset, jnp.zeros_like(state.displacement), state.displacement)
-    jumps = jnp.where(reset, 0, state.jumps)
-    autocorr_ref = jnp.where(reset, sites, state.autocorr_ref)
-
-    newpos = frame.donors[sites]
-    disp = disp + cell_displacement(cell, state.snapshot, newpos)
-    return dataclasses.replace(
-        state,
-        displacement=disp,
-        snapshot=newpos,
-        jumps=jumps,
-        autocorr_ref=autocorr_ref,
-    )
-
-
-def observables_of(state: ReplicaState):
-    """(msd[.., 3], autocorr count) per replica."""
-    n_protons = state.displacement.shape[-2]
-    msd = jnp.sum(state.displacement**2, axis=-2) / n_protons
-    autocorr = jnp.sum(
-        (state.site_of_proton == state.autocorr_ref).astype(jnp.int32), axis=-1
-    )
-    return msd, autocorr
 
 
 # ----------------------------------------------------------------------------
@@ -359,14 +372,108 @@ def observables_of(state: ReplicaState):
 # ----------------------------------------------------------------------------
 
 
+def proton_displacement(states: ReplicaState, site_disp):
+    """Total PBC-unwrapped displacement of each proton since the last reset:
+    disp_base + site_disp[current site]. Batched over replicas."""
+    return states.disp_base + site_disp[states.site_of_proton]
+
+
+def observables_of(states: ReplicaState, site_disp):
+    """(msd[.., 3], autocorr count) per replica. This is the only place the
+    [R, P] position gather happens — callers run it under a frame-level cond on
+    print frames only."""
+    disp = proton_displacement(states, site_disp)
+    n_protons = disp.shape[-2]
+    msd = jnp.sum(disp**2, axis=-2) / n_protons
+    autocorr = jnp.sum(
+        (states.site_of_proton == states.autocorr_ref).astype(jnp.int32), axis=-1
+    )
+    return msd, autocorr
+
+
+def _make_row(states: ReplicaState, site_disp, frame):
+    msd, autocorr = observables_of(states, site_disp)
+    return ObsRow(
+        frame=frame.index,
+        time=frame.time,
+        msd_mean=msd.mean(axis=0),
+        msd_var=msd.var(axis=0),
+        autocorr_mean=autocorr.astype(jnp.float32).mean(),
+        autocorr_var=autocorr.astype(jnp.float32).var(),
+        jumps_mean=states.jumps.astype(jnp.float32).mean(),
+        events_mean=states.clock.event_count.astype(jnp.float32).mean(),
+    )
+
+
+def _empty_row(frame):
+    z3 = jnp.zeros(3, jnp.float32)
+    z = jnp.float32(0.0)
+    return ObsRow(frame=frame.index, time=frame.time, msd_mean=z3, msd_var=z3,
+                  autocorr_mean=z, autocorr_var=z, jumps_mean=z, events_mean=z)
+
+
+def _reset_states(states: ReplicaState, site_disp):
+    """Observable reset (MDMC.py:198-201): zero displacement and jump counter,
+    re-snapshot the autocorrelation reference. Rebasing disp_base to
+    -site_disp[site] makes the current displacement exactly zero."""
+    sites = states.site_of_proton
+    return dataclasses.replace(
+        states,
+        disp_base=-site_disp[sites],
+        jumps=jnp.zeros_like(states.jumps),
+        autocorr_ref=sites,
+    )
+
+
+def _block_scan(model, cell, ens, keys, frames, dt, max_events,
+                reset_frequency, hist_range, emit_every, with_sites):
+    def step(carry, frame):
+        states, site_disp, prev_pos = carry
+        site_disp = site_disp + cell_displacement(cell, prev_pos, frame.donors)
+
+        def per_replica(state, key):
+            return _replica_frame_step(
+                model, frame, site_disp, dt, max_events, hist_range, state, key
+            )
+
+        states, n_fired = jax.vmap(per_replica)(states, keys)
+
+        if reset_frequency > 0:
+            reset = jnp.logical_and(
+                frame.index % reset_frequency == 0, frame.index > 0
+            )
+            states = jax.lax.cond(
+                reset, lambda s: _reset_states(s, site_disp), lambda s: s, states
+            )
+
+        if emit_every > 1:
+            emit = frame.index % emit_every == 0
+            row = jax.lax.cond(
+                emit,
+                lambda: _make_row(states, site_disp, frame),
+                lambda: _empty_row(frame),
+            )
+        else:
+            row = _make_row(states, site_disp, frame)
+
+        out = (row, states.site_of_proton[0]) if with_sites else row
+        return (states, site_disp, frame.donors), out
+
+    carry = (ens.replicas, ens.site_disp, ens.prev_pos)
+    (replicas, site_disp, prev_pos), ys = jax.lax.scan(step, carry, frames)
+    ens = EnsembleState(replicas=replicas, site_disp=site_disp, prev_pos=prev_pos)
+    return ens, ys
+
+
 @partial(
     jax.jit,
-    static_argnames=("dt", "max_events", "reset_frequency", "hist_range"),
+    static_argnames=("dt", "max_events", "reset_frequency", "hist_range",
+                     "emit_every"),
 )
 def run_block(
     model,
     cell: Cell,
-    states: ReplicaState,
+    ens: EnsembleState,
     keys: Array,
     frames: Frame,
     *,
@@ -374,54 +481,28 @@ def run_block(
     max_events: int = 4,
     reset_frequency: int = 0,
     hist_range: tuple = (2.0, 3.0),
-) -> tuple[ReplicaState, ObsRow]:
+    emit_every: int = 1,
+) -> tuple[EnsembleState, ObsRow]:
     """Advance all replicas across a block of frames (stacked leading axis).
 
-    Returns the final states plus per-frame ensemble observables. Host code
-    streams trajectory blocks through this; the clock's event-ordinal keying
-    makes the result independent of the chunking.
+    Returns the final ensemble plus per-frame observables (zero-filled on
+    frames where ``emit_every`` suppresses the reduction — host code filters by
+    print frequency anyway). The clock's event-ordinal keying makes the result
+    independent of the block chunking.
     """
-
-    def step(states, frame):
-        if reset_frequency > 0:
-            reset = jnp.logical_and(
-                frame.index % reset_frequency == 0, frame.index > 0
-            )
-        else:
-            reset = jnp.bool_(False)
-
-        def per_replica(state, key):
-            state, n_fired = _replica_frame_step(
-                model, frame, dt, max_events, hist_range, state, key
-            )
-            state = _update_observables(cell, frame, reset, state)
-            return state, n_fired
-
-        states2, n_fired = jax.vmap(per_replica)(states, keys)
-        msd, autocorr = observables_of(states2)
-        row = ObsRow(
-            frame=frame.index,
-            time=frame.time,
-            msd_mean=msd.mean(axis=0),
-            msd_var=msd.var(axis=0),
-            autocorr_mean=autocorr.astype(jnp.float32).mean(),
-            autocorr_var=autocorr.astype(jnp.float32).var(),
-            jumps_mean=states2.jumps.astype(jnp.float32).mean(),
-            events_mean=states2.clock.event_count.astype(jnp.float32).mean(),
-        )
-        return states2, row
-
-    return jax.lax.scan(step, states, frames)
+    return _block_scan(model, cell, ens, keys, frames, dt, max_events,
+                       reset_frequency, hist_range, emit_every, with_sites=False)
 
 
 @partial(
     jax.jit,
-    static_argnames=("dt", "max_events", "reset_frequency", "hist_range"),
+    static_argnames=("dt", "max_events", "reset_frequency", "hist_range",
+                     "emit_every"),
 )
 def run_block_with_sites(
     model,
     cell: Cell,
-    states: ReplicaState,
+    ens: EnsembleState,
     keys: Array,
     frames: Frame,
     *,
@@ -429,38 +510,12 @@ def run_block_with_sites(
     max_events: int = 4,
     reset_frequency: int = 0,
     hist_range: tuple = (2.0, 3.0),
+    emit_every: int = 1,
 ):
     """Like :func:`run_block`, additionally emitting replica 0's proton site
     indices per frame — feeds the XYZOutput mode (MDMC.py:173-177)."""
-
-    def step(states, frame):
-        if reset_frequency > 0:
-            reset = jnp.logical_and(
-                frame.index % reset_frequency == 0, frame.index > 0
-            )
-        else:
-            reset = jnp.bool_(False)
-
-        def per_replica(state, key):
-            state, n_fired = _replica_frame_step(
-                model, frame, dt, max_events, hist_range, state, key
-            )
-            state = _update_observables(cell, frame, reset, state)
-            return state, n_fired
-
-        states2, _ = jax.vmap(per_replica)(states, keys)
-        msd, autocorr = observables_of(states2)
-        row = ObsRow(
-            frame=frame.index,
-            time=frame.time,
-            msd_mean=msd.mean(axis=0),
-            msd_var=msd.var(axis=0),
-            autocorr_mean=autocorr.astype(jnp.float32).mean(),
-            autocorr_var=autocorr.astype(jnp.float32).var(),
-            jumps_mean=states2.jumps.astype(jnp.float32).mean(),
-            events_mean=states2.clock.event_count.astype(jnp.float32).mean(),
-        )
-        return states2, (row, states2.site_of_proton[0])
-
-    states, (rows, sites) = jax.lax.scan(step, states, frames)
-    return states, rows, sites
+    ens, (rows, sites) = _block_scan(
+        model, cell, ens, keys, frames, dt, max_events, reset_frequency,
+        hist_range, emit_every, with_sites=True,
+    )
+    return ens, rows, sites

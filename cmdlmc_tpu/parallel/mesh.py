@@ -50,3 +50,16 @@ def replicate(tree, mesh: Mesh):
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def shard_ensemble(ens, mesh: Mesh, axis: str = REPLICA_AXIS):
+    """Shard an EnsembleState: per-replica leaves split over the mesh, the
+    shared trajectory carry (site_disp / prev_pos) replicated."""
+    import dataclasses
+
+    return dataclasses.replace(
+        ens,
+        replicas=shard_replicas(ens.replicas, mesh, axis),
+        site_disp=jax.device_put(ens.site_disp, NamedSharding(mesh, P())),
+        prev_pos=jax.device_put(ens.prev_pos, NamedSharding(mesh, P())),
+    )

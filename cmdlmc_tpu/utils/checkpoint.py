@@ -25,15 +25,19 @@ def _flatten(prefix: str, obj, out: dict):
         out[prefix.rstrip(".")] = np.asarray(obj)
 
 
+def _nested_class(field_name):
+    from cmdlmc_tpu.engine.clock import ClockState
+    from cmdlmc_tpu.engine.lattice import ReplicaState
+
+    return {"clock": ClockState, "replicas": ReplicaState}[field_name]
+
+
 def _rebuild(cls, prefix: str, data: dict):
     kwargs = {}
     for f in cls.__dataclass_fields__.values():
         key = f"{prefix}{f.name}"
         if any(k.startswith(key + ".") for k in data):
-            # nested dataclass — currently only the clock
-            from cmdlmc_tpu.engine.clock import ClockState
-
-            kwargs[f.name] = _rebuild(ClockState, key + ".", data)
+            kwargs[f.name] = _rebuild(_nested_class(f.name), key + ".", data)
         else:
             kwargs[f.name] = jax.numpy.asarray(data[key])
     return cls(**kwargs)
@@ -54,13 +58,14 @@ def save_checkpoint(path: str, states, keys, next_frame: int, meta: dict | None 
 
 def load_checkpoint(path: str):
     """Returns (states, keys, next_frame, meta)."""
-    from cmdlmc_tpu.engine.lattice import ReplicaState
+    from cmdlmc_tpu.engine.lattice import EnsembleState, ReplicaState
     from cmdlmc_tpu.models.water import WaterState
 
     with np.load(path) as f:
         data = {k: f[k] for k in f.files}
     cls_name = bytes(data.pop("state_class")).decode()
-    cls = {"ReplicaState": ReplicaState, "WaterState": WaterState}[cls_name]
+    cls = {"ReplicaState": ReplicaState, "WaterState": WaterState,
+           "EnsembleState": EnsembleState}[cls_name]
     state_data = {
         k[len("state."):]: v for k, v in data.items() if k.startswith("state.")
     }

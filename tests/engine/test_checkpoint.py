@@ -55,16 +55,20 @@ def test_lattice_checkpoint_roundtrip(tmp_path):
     )
 
     np.testing.assert_array_equal(
-        np.asarray(s_full.clock.event_count), np.asarray(s_resumed.clock.event_count)
+        np.asarray(s_full.replicas.clock.event_count),
+        np.asarray(s_resumed.replicas.clock.event_count),
     )
     np.testing.assert_array_equal(
-        np.asarray(s_full.site_of_proton), np.asarray(s_resumed.site_of_proton)
+        np.asarray(s_full.replicas.site_of_proton),
+        np.asarray(s_resumed.replicas.site_of_proton),
     )
     np.testing.assert_allclose(
-        np.asarray(s_full.displacement), np.asarray(s_resumed.displacement), atol=1e-6
+        np.asarray(eng.proton_displacement(s_full.replicas, s_full.site_disp)),
+        np.asarray(eng.proton_displacement(s_resumed.replicas, s_resumed.site_disp)),
+        atol=1e-6,
     )
     np.testing.assert_array_equal(
-        np.asarray(s_full.jump_hist), np.asarray(s_resumed.jump_hist)
+        np.asarray(s_full.replicas.jump_hist), np.asarray(s_resumed.replicas.jump_hist)
     )
 
 

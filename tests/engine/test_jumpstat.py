@@ -38,16 +38,16 @@ def test_jump_histogram_recovers_fermi_law():
     idx = jnp.arange(n_frames, dtype=jnp.int32)
     frames = Frame(donors=pos, extras=None, time=idx.astype(jnp.float32) * dt, index=idx)
 
-    states, _ = eng.run_block(
+    ens, _ = eng.run_block(
         model, cell, states, keys, frames, dt=dt, hist_range=hist_range
     )
 
-    jumps = np.asarray(states.jump_hist).sum(axis=0).astype(float)
-    opp = np.asarray(states.opportunity_hist).sum(axis=0)
-    total_events = int(np.asarray(states.clock.event_count).sum())
+    jumps = np.asarray(ens.replicas.jump_hist).sum(axis=0).astype(float)
+    opp = np.asarray(ens.replicas.opportunity_hist).sum(axis=0)
+    total_events = int(np.asarray(ens.replicas.clock.event_count).sum())
     assert total_events > 500
     # jump matrix total equals event count
-    assert int(np.asarray(states.jump_matrix).sum()) == total_events
+    assert int(np.asarray(ens.replicas.jump_matrix).sum()) == total_events
 
     edges = np.linspace(*hist_range, n_bins + 1)
     centers = 0.5 * (edges[:-1] + edges[1:])

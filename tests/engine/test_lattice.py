@@ -28,13 +28,11 @@ def make_frames(positions, dt, n_frames, start=0):
 def manual_state(lattice, positions, n_protons):
     """Build a ReplicaState from a reference-style label array."""
     lattice = np.asarray(lattice)
-    n_sites = len(lattice)
     occ = (lattice > 0).astype(np.float32)
     site_of_proton = np.zeros(n_protons, np.int32)
     for site, label in enumerate(lattice):
         if label > 0:
             site_of_proton[label - 1] = site
-    snapshot = np.asarray(positions, np.float32)[site_of_proton]
     return eng.ReplicaState(
         occ=jnp.asarray(occ),
         proton_of_site=jnp.asarray(lattice, jnp.int32),
@@ -42,8 +40,7 @@ def manual_state(lattice, positions, n_protons):
         t_last_jump=-jnp.ones(n_protons, jnp.float32),
         clock=init_clock(jax.random.key(0)),
         jumps=jnp.int32(0),
-        snapshot=jnp.asarray(snapshot),
-        displacement=jnp.zeros((n_protons, 3), jnp.float32),
+        disp_base=jnp.zeros((n_protons, 3), jnp.float32),
         autocorr_ref=jnp.asarray(site_of_proton),
         jump_hist=jnp.zeros((0,), jnp.int32),
         opportunity_hist=jnp.zeros((0,), jnp.float32),
@@ -52,47 +49,64 @@ def manual_state(lattice, positions, n_protons):
 
 
 class TestMSDBookkeeping:
-    """Port of tests/LMC/test_output.py:21-47: snapshot indexing and displacement
-    accumulation through label swaps and a jump to an empty site."""
+    """Port of tests/LMC/test_output.py:21-47: proton-position indexing and
+    displacement accumulation through label swaps and a jump to an empty site,
+    expressed in the engine's rebased formulation (disp = disp_base +
+    site_disp[site]; jumps add the minimum-image jump vector)."""
 
     positions = np.arange(1, 19, dtype=np.float32).reshape(6, 3)
     lattice0 = [0, 3, 0, 0, 1, 2]
     cell = Cell.cubic([10.0, 10.0, 10.0])
 
-    def test_snapshot_positions(self):
+    def jump(self, state, site_disp, p_label, src, dst):
+        """Apply the engine's disp_base rebase rule for one jump."""
+        from cmdlmc_tpu.core.cell import displacement as cdisp
+
+        jump_vec = cdisp(self.cell, self.positions[src], self.positions[dst])
+        disp_base = state.disp_base.at[p_label - 1].add(
+            site_disp[src] - site_disp[dst] + jump_vec
+        )
+        pos_map = state.proton_of_site.at[src].set(0).at[dst].set(p_label)
+        sites = state.site_of_proton.at[p_label - 1].set(dst)
+        return dataclasses.replace(
+            state, disp_base=disp_base, proton_of_site=pos_map,
+            site_of_proton=sites,
+        )
+
+    def test_initial_displacement_zero_and_site_mapping(self):
         state = manual_state(self.lattice0, self.positions, 3)
-        want = np.array([[13, 14, 15], [16, 17, 18], [4, 5, 6]], dtype=np.float32)
-        np.testing.assert_array_equal(np.asarray(state.snapshot), want)
+        np.testing.assert_array_equal(
+            np.asarray(state.site_of_proton), [4, 5, 1]
+        )
+        site_disp = jnp.zeros((6, 3), jnp.float32)
+        disp = eng.proton_displacement(state, site_disp)
+        np.testing.assert_array_equal(np.asarray(disp), np.zeros((3, 3)))
 
     def test_displacement_through_swap_and_jump(self):
         state = manual_state(self.lattice0, self.positions, 3)
-        frame = Frame(
-            donors=jnp.asarray(self.positions),
-            extras=None,
-            time=jnp.float32(0.0),
-            index=jnp.int32(1),
+        site_disp = jnp.zeros((6, 3), jnp.float32)
+        # protons 1 and 2 swap positions (sites 4 <-> 5): two jumps
+        state = self.jump(state, site_disp, 1, 4, 5)
+        state = dataclasses.replace(
+            state, proton_of_site=state.proton_of_site.at[4].set(2)
         )
-        # protons 1 and 2 swap positions (sites 4 <-> 5)
+        state = self.jump(state, site_disp, 2, 5, 4)
         state = dataclasses.replace(
             state,
             proton_of_site=jnp.asarray([0, 3, 0, 0, 2, 1], jnp.int32),
             site_of_proton=jnp.asarray([5, 4, 1], jnp.int32),
         )
-        state = eng._update_observables(self.cell, frame, jnp.bool_(False), state)
         disp = np.zeros((3, 3))
         disp[0] = [3, 3, 3]
         disp[1] = [-3, -3, -3]
-        np.testing.assert_allclose(np.asarray(state.displacement), disp, atol=1e-6)
+        got = eng.proton_displacement(state, site_disp)
+        np.testing.assert_allclose(np.asarray(got), disp, atol=1e-6)
 
         # proton 2 jumps to empty site 3
-        state = dataclasses.replace(
-            state,
-            proton_of_site=jnp.asarray([0, 3, 0, 2, 0, 1], jnp.int32),
-            site_of_proton=jnp.asarray([5, 3, 1], jnp.int32),
-        )
-        state = eng._update_observables(self.cell, frame, jnp.bool_(False), state)
+        state = self.jump(state, site_disp, 2, 4, 3)
         disp[1] += [-3, -3, -3]
-        np.testing.assert_allclose(np.asarray(state.displacement), disp, atol=1e-6)
+        got = eng.proton_displacement(state, site_disp)
+        np.testing.assert_allclose(np.asarray(got), disp, atol=1e-6)
 
 
 @pytest.fixture(scope="module")
@@ -128,7 +142,8 @@ def run(model, cell, positions, n_replicas, n_protons, n_frames, dt, seed=0, **k
 
 def test_state_invariants_preserved(small_system):
     cell, model, positions = small_system
-    states, rows = run(model, cell, positions, 8, 5, 300, dt=0.5)
+    ens, rows = run(model, cell, positions, 8, 5, 300, dt=0.5)
+    states = ens.replicas
     occ = np.asarray(states.occ)
     pos_map = np.asarray(states.proton_of_site)
     site_map = np.asarray(states.site_of_proton)
@@ -150,10 +165,10 @@ def test_event_rate_matches_occupancy_masked_total(small_system):
     cell, model, positions = small_system
     n_sites, n_protons, a = 12, 5, 0.02
     dt, n_frames, n_replicas = 0.5, 2000, 24
-    states, rows = run(model, cell, positions, n_replicas, n_protons, n_frames, dt)
+    ens, rows = run(model, cell, positions, n_replicas, n_protons, n_frames, dt)
     total_rate = a * n_protons * (n_sites - n_protons)
     expected = total_rate * dt * n_frames
-    counts = np.asarray(states.clock.event_count, dtype=float)
+    counts = np.asarray(ens.replicas.clock.event_count, dtype=float)
     # per-replica Poisson(expected)
     z = (counts.mean() - expected) / np.sqrt(expected / n_replicas)
     assert abs(z) < 5, (counts.mean(), expected, z)
@@ -185,10 +200,13 @@ def test_chunk_invariance(small_system):
         rows_list.append(rows)
 
     np.testing.assert_array_equal(
-        np.asarray(states_a.clock.event_count), np.asarray(states_b.clock.event_count)
+        np.asarray(states_a.replicas.clock.event_count),
+        np.asarray(states_b.replicas.clock.event_count),
     )
     np.testing.assert_allclose(
-        np.asarray(states_a.displacement), np.asarray(states_b.displacement), atol=1e-5
+        np.asarray(eng.proton_displacement(states_a.replicas, states_a.site_disp)),
+        np.asarray(eng.proton_displacement(states_b.replicas, states_b.site_disp)),
+        atol=1e-5,
     )
     msd_a = np.asarray(rows_a.msd_mean)
     msd_b = np.concatenate([np.asarray(r.msd_mean) for r in rows_list])

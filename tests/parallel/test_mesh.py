@@ -7,7 +7,7 @@ import numpy as np
 
 from cmdlmc_tpu.core.cell import Cell
 from cmdlmc_tpu.engine import lattice as eng
-from cmdlmc_tpu.parallel.mesh import replica_mesh, replicate, shard_replicas
+from cmdlmc_tpu.parallel.mesh import replica_mesh, replicate, shard_ensemble, shard_replicas
 from cmdlmc_tpu.rates.laws import Fermi
 from cmdlmc_tpu.topo.models import Frame, PairRates
 
@@ -44,18 +44,18 @@ def test_engine_runs_sharded_over_8_devices():
     base_states, base_rows = eng.run_block(model, cell, states, keys, frames, dt=dt)
 
     # Sharded run
-    s_states = shard_replicas(states, mesh)
+    s_states = shard_ensemble(states, mesh)
     s_keys = shard_replicas(keys, mesh)
     s_frames = replicate(frames, mesh)
     sh_states, sh_rows = eng.run_block(model, cell, s_states, s_keys, s_frames, dt=dt)
 
     # Output sharding actually spans the mesh
-    occ_sharding = sh_states.occ.sharding
+    occ_sharding = sh_states.replicas.occ.sharding
     assert occ_sharding.is_fully_replicated is False
 
     np.testing.assert_array_equal(
-        np.asarray(base_states.clock.event_count),
-        np.asarray(sh_states.clock.event_count),
+        np.asarray(base_states.replicas.clock.event_count),
+        np.asarray(sh_states.replicas.clock.event_count),
     )
     np.testing.assert_allclose(
         np.asarray(base_rows.msd_mean), np.asarray(sh_rows.msd_mean),
