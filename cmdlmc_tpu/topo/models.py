@@ -99,7 +99,9 @@ class PairRates:
     per_replica = False
 
     def shared(self, frame: Frame) -> DenseShared:
-        d = pairwise_distances(self.cell, frame.donors, frame.donors)
+        from cmdlmc_tpu.ops.pairwise import pairwise_distance_matrix
+
+        d = pairwise_distance_matrix(self.cell, frame.donors)
         n = d.shape[0]
         valid = (d <= self.cutoff + self.buffer) & ~jnp.eye(n, dtype=bool)
         return DenseShared(W=jnp.where(valid, self.law(d), 0.0), dist=d)
