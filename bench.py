@@ -29,6 +29,8 @@ def main():
     parser.add_argument("--block-frames", type=int, default=256)
     parser.add_argument("--blocks", type=int, default=4)
     parser.add_argument("--max-events", type=int, default=4)
+    parser.add_argument("--print-frequency", type=int, default=100,
+                        help="observable emission cadence (frames)")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
 
@@ -88,7 +90,8 @@ def main():
     # Warmup / compile
     blk = frames_for(0)
     states, rows = eng.run_block(
-        model, cell, states, keys, blk, dt=dt, max_events=args.max_events
+        model, cell, states, keys, blk, dt=dt, max_events=args.max_events,
+        emit_every=args.print_frequency,
     )
     sync(rows.msd_mean)
 
@@ -97,7 +100,8 @@ def main():
     for b in range(args.blocks):
         blk = frames_for((b + 1) * args.block_frames)
         states, rows = eng.run_block(
-            model, cell, states, keys, blk, dt=dt, max_events=args.max_events
+            model, cell, states, keys, blk, dt=dt, max_events=args.max_events,
+            emit_every=args.print_frequency,
         )
         total_frames += args.block_frames
     sync(rows.msd_mean)

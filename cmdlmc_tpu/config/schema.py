@@ -195,6 +195,8 @@ class EngineSection:
     sweeps: Optional[int] = None  # total frames; None = full trajectory
     mesh_axis: str = "replica"
     jumpmatrix_filename: Optional[str] = None  # legacy jumpmatrix capability
+    checkpoint_path: Optional[str] = None  # .npz path; resume if it exists
+    checkpoint_interval: int = 0  # blocks between checkpoints (0 = end only)
 
 
 _SECTIONS = {

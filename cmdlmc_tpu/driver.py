@@ -219,13 +219,28 @@ class Simulation:
     # -- main loop ---------------------------------------------------------------
 
     def observable_rows(self) -> Iterator[ObservableRecord]:
+        from cmdlmc_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
         cfg = self.cfg
         model = None
         states = None
         keys = None
         n_sites_expected = cfg.kmc.lattice_size
+        ckpt_path = cfg.engine.checkpoint_path
+        resume_frame = 0
+        blocks_done = 0
+        last_frame_done = 0
+
+        if ckpt_path:
+            import os
+
+            if os.path.exists(ckpt_path):
+                states, keys, resume_frame, _ = load_checkpoint(ckpt_path)
+                logger.info("Resuming from %s at frame %d", ckpt_path, resume_frame)
 
         for block in self._blocks():
+            if block.start + block.n_frames <= resume_frame:
+                continue  # already simulated before the checkpoint
             frames = self._device_frames(block)
             if model is None:
                 model = build_model(cfg, self.cell, self.law, block)
@@ -236,19 +251,20 @@ class Simulation:
                         "using %d",
                         n_sites_expected, n_sites, n_sites,
                     )
-                key = jax.random.key(cfg.engine.seed)
-                states = eng.init_replicas(
-                    jax.random.fold_in(key, 0),
-                    cfg.engine.replicas,
-                    n_sites,
-                    cfg.kmc.proton_number,
-                    frames.donors[0],
-                    hist_bins=self.hist_bins,
-                    track_jump_matrix=self.track_jump_matrix,
-                )
-                keys = jax.random.split(
-                    jax.random.fold_in(key, 1), cfg.engine.replicas
-                )
+                if states is None:
+                    key = jax.random.key(cfg.engine.seed)
+                    states = eng.init_replicas(
+                        jax.random.fold_in(key, 0),
+                        cfg.engine.replicas,
+                        n_sites,
+                        cfg.kmc.proton_number,
+                        frames.donors[0],
+                        hist_bins=self.hist_bins,
+                        track_jump_matrix=self.track_jump_matrix,
+                    )
+                    keys = jax.random.split(
+                        jax.random.fold_in(key, 1), cfg.engine.replicas
+                    )
             states, rows = eng.run_block(
                 model,
                 self.cell,
@@ -262,6 +278,16 @@ class Simulation:
                 emit_every=cfg.output.print_frequency,
             )
             rows = jax.device_get(rows)
+            blocks_done += 1
+            if (
+                ckpt_path
+                and cfg.engine.checkpoint_interval > 0
+                and blocks_done % cfg.engine.checkpoint_interval == 0
+            ):
+                save_checkpoint(
+                    ckpt_path, states, keys, block.start + block.n_frames,
+                    meta={"seed": cfg.engine.seed},
+                )
             for i in range(block.n_frames):
                 frame_no = int(rows.frame[i])
                 if frame_no % cfg.output.print_frequency == 0:
@@ -274,7 +300,13 @@ class Simulation:
                         autocorr_var=float(rows.autocorr_var[i]),
                         jumps=float(rows.jumps_mean[i]),
                     )
+            last_frame_done = block.start + block.n_frames
         self.final_states = states
+        if ckpt_path and states is not None:
+            save_checkpoint(
+                ckpt_path, states, keys, last_frame_done,
+                meta={"seed": cfg.engine.seed},
+            )
 
     def xyz_rows(self) -> Iterator[str]:
         """XYZOutput mode: donor frames with proton pseudo-atoms of replica 0
