@@ -1,0 +1,414 @@
+"""Fused Pallas KMC sweep kernel — the framework's flagship TPU kernel.
+
+One ``pallas_call`` advances a tile of replicas across a whole block of MD
+frames with ALL per-frame work fused on-chip (the TPU-native rebirth of the
+reference's deleted Cython LMC sweep engine, SURVEY.md §2 native component #4):
+
+  per frame, per replica tile (all in VMEM):
+    1. minimum-image distance matrix + rate law        -> W [N, N]
+    2. outgoing-rate vector  out = (1 - occ) @ W       -> MXU
+    3. KMC clock arithmetic (budget vs exponential draw)
+    4. two-stage transition selection via Gumbel-argmax with the TPU's
+       hardware PRNG (source ~ allowed row rate; the row gather is a
+       one-hot MXU matmul; destination ~ row entry x vacancy)
+    5. occupancy / proton-label / residence-time / displacement updates as
+       one-hot masked vector ops — no scalar gathers or scatters anywhere
+    6. shared site-displacement prefix sum for O(events) MSD bookkeeping
+
+  in-frame event iterations beyond the first run under ``@pl.when`` on a
+  per-tile any-replica-live flag, so the multi-event machinery costs nothing
+  on the (overwhelmingly common) quiet iterations.
+
+Restrictions of the fused path (the XLA engine remains the general fallback):
+orthorhombic cells, symmetric distance-only rate laws (Fermi / constant /
+exponential / activation-energy — FermiAngle's angle gate is asymmetric), no
+jump histograms / jump matrix. Determinism: draws are seeded by (user seed,
+replica tile, absolute frame, event iteration), so results are independent of
+host block chunking, but the stream differs from the XLA engine's per-ordinal
+threefry — the two backends agree distributionally, not bitwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cmdlmc_tpu.rates import laws as rate_laws
+
+Array = jax.Array
+
+# Static law kinds understood by the kernel.
+_LAW_KIND = {
+    rate_laws.Fermi: 0,
+    rate_laws.Constant: 1,
+    rate_laws.Exponential: 2,
+    rate_laws.ActivationEnergy: 3,
+}
+
+
+def law_kind(law) -> int | None:
+    """Static kernel dispatch id for a law; None if the fused path can't
+    handle it (e.g. FermiAngle — asymmetric)."""
+    if isinstance(law, rate_laws.FermiAngle):
+        return None
+    for cls, kind in _LAW_KIND.items():
+        if isinstance(law, cls):
+            return kind
+    return None
+
+
+def law_params_array(law) -> Array:
+    """Pack law parameters into a [6] f32 vector for SMEM."""
+    z = jnp.float32(0.0)
+    if isinstance(law, rate_laws.Fermi):
+        return jnp.stack([law.a, law.b, law.c, z, z, z]).astype(jnp.float32)
+    if isinstance(law, rate_laws.Constant):
+        return jnp.stack([law.a, z, z, z, z, z]).astype(jnp.float32)
+    if isinstance(law, rate_laws.Exponential):
+        return jnp.stack([law.a, law.b, z, z, z, z]).astype(jnp.float32)
+    if isinstance(law, rate_laws.ActivationEnergy):
+        return jnp.stack([law.A, law.a, law.b, law.d0, law.T, z]).astype(jnp.float32)
+    raise ValueError(f"Unsupported law {type(law)}")
+
+
+def _apply_law(kind: int, dist, p):
+    if kind == 0:  # Fermi
+        return p[0] / (1.0 + jnp.exp((dist - p[1]) / p[2]))
+    if kind == 1:  # Constant
+        return jnp.full_like(dist, p[0])
+    if kind == 2:  # Exponential
+        return p[0] * jnp.exp(p[1] * dist)
+    # ActivationEnergy
+    dd = dist - p[3]
+    safe = jnp.where(jnp.abs(dd) > 1e-6, dd, 1e-6)
+    energy = jnp.maximum(p[1] * dd * jax.lax.rsqrt(p[2] + 1.0 / (safe * safe)), 0.0)
+    return p[0] * jnp.exp(-energy / (rate_laws.KB_EV_PER_K * p[4]))
+
+
+def _fmix(h):
+    """murmur3 32-bit finalizer — full avalanche, plain int ops (identical
+    lowering on TPU Mosaic and the interpreter; the hardware PRNG primitive is
+    not implemented by the interpreter and would silently return zeros)."""
+    h = h ^ jax.lax.shift_right_logical(h, 16)
+    h = h * jnp.int32(-2048144789)  # 0x85ebca6b
+    h = h ^ jax.lax.shift_right_logical(h, 13)
+    h = h * jnp.int32(-1028477387)  # 0xc2b2ae35
+    h = h ^ jax.lax.shift_right_logical(h, 16)
+    return h
+
+
+def _i32(x: int) -> int:
+    """Wrap a python int into signed 32-bit range."""
+    return ((int(x) + 2**31) % 2**32) - 2**31
+
+
+def _mix_key(seed, tile_id, frame_idx, ev, salt):
+    k = jnp.int32(_i32(seed)) * jnp.int32(-1640531527)  # 0x9e3779b9
+    k = _fmix(k ^ (tile_id * jnp.int32(0x27d4eb2f)))
+    k = _fmix(k ^ (frame_idx * jnp.int32(0x165667b1)))
+    k = _fmix(k ^ jnp.int32(_i32(ev * 0x1B873593)) ^ jnp.int32(_i32(salt * 0x5BD1E995)))
+    return k
+
+
+def _u01(key, shape):
+    """Counter-based uniform in (0, 1): hash(lane counter ^ key), 24-bit
+    mantissa resolution."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    idx = rows * jnp.int32(shape[1]) + cols
+    h = _fmix(idx * jnp.int32(-1640531527) ^ key)
+    h = _fmix(h ^ jnp.int32(0x243f6a88))
+    bits24 = jax.lax.shift_right_logical(h, 8)
+    return bits24.astype(jnp.float32) * jnp.float32(1.0 / 16777216.0) + jnp.float32(
+        0.5 / 16777216.0
+    )
+
+
+def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
+                 cutbuf):
+    N, P, TR, B = n_sites, n_protons, tile, block
+    f32 = jnp.float32
+
+    def kernel(
+        box_ref,  # SMEM f32 [4]: box lengths (3) + pad
+        ints_ref,  # SMEM i32 [2]: frame0, pad
+        params_ref,  # SMEM f32 [6]: law params
+        pos_ref,  # [B, N, 3]
+        post_ref,  # [B, 3, N]
+        prev_ref,  # [N, 3]
+        s0_ref,  # [N, 3]
+        occ_ref, lab_ref, site_ref, tlast_ref,
+        dbx_ref, dby_ref, dbz_ref, u_ref, evc_ref,
+        # outputs
+        occ_out, lab_out, site_out, tlast_out,
+        dbx_out, dby_out, dbz_out, u_out, evc_out,
+        s_out, prev_out,
+        # scratch
+        s_scr, prev_scr, phase_scr, done_scr,
+    ):
+        box = [box_ref[0], box_ref[1], box_ref[2]]
+        frame0 = ints_ref[0]
+        tile_id = pl.program_id(0)
+        params = [params_ref[i] for i in range(6)]
+
+        occ_out[:] = occ_ref[:]
+        lab_out[:] = lab_ref[:]
+        site_out[:] = site_ref[:]
+        tlast_out[:] = tlast_ref[:]
+        dbx_out[:] = dbx_ref[:]
+        dby_out[:] = dby_ref[:]
+        dbz_out[:] = dbz_ref[:]
+        u_out[:] = u_ref[:]
+        evc_out[:] = evc_ref[:]
+        s_scr[:] = s0_ref[:]
+        prev_scr[:] = prev_ref[:]
+
+        iota_n = jax.lax.broadcasted_iota(jnp.int32, (TR, N), 1)
+
+        def minimg1(delta, length):
+            return delta - length * jnp.round(delta / length)
+
+        def total_rate(W):
+            occ = occ_out[:]
+            out = jax.lax.dot_general(
+                1.0 - occ, W, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            row = occ * out
+            return row, jnp.sum(row, axis=1, keepdims=True)
+
+        def ev_iter(W, pos, frame_idx, frame_time, ev):
+            row, total = total_rate(W)
+            phase = phase_scr[:]
+            done = done_scr[:]
+            u = u_out[:]
+            budget = total * (f32(dt) - phase)
+            fire = jnp.logical_and(jnp.logical_not(done), u <= budget)
+            fire = jnp.logical_and(fire, budget > 0)
+            safe_total = jnp.where(total > 0, total, 1.0)
+            eph = phase + u / safe_total
+
+            key1 = _mix_key(seed, tile_id, frame_idx, ev, 1)
+            g1 = -jnp.log(-jnp.log(_u01(key1, (TR, N))))
+            src = jnp.argmax(jnp.log(row) + g1, axis=1)  # [TR]
+            oh_src = (iota_n == src[:, None]).astype(f32)
+            srcrow = jax.lax.dot_general(
+                oh_src, W, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            vac = 1.0 - occ_out[:]
+            w2 = srcrow * vac
+            key2 = _mix_key(seed, tile_id, frame_idx, ev, 2)
+            g2 = -jnp.log(-jnp.log(_u01(key2, (TR, N))))
+            dst = jnp.argmax(jnp.log(w2) + g2, axis=1)
+            oh_dst = (iota_n == dst[:, None]).astype(f32)
+
+            firef = fire.astype(f32)  # [TR, 1]
+            label = jnp.sum(lab_out[:] * oh_src, axis=1, keepdims=True)
+
+            occ_out[:] = occ_out[:] + firef * (oh_dst - oh_src)
+            lab_out[:] = (
+                lab_out[:] * (1.0 - firef * (oh_src + oh_dst))
+                + firef * oh_dst * label
+            )
+
+            moving = jnp.logical_and(site_out[:] == src[:, None], fire)  # [TR,P]
+            site_out[:] = jnp.where(moving, dst[:, None].astype(jnp.int32),
+                                    site_out[:])
+            t_event = frame_time + eph
+            tlast_out[:] = jnp.where(moving, t_event, tlast_out[:])
+
+            movingf = moving.astype(f32)
+            db_refs = (dbx_out, dby_out, dbz_out)
+            for dim in range(3):
+                s_col = s_scr[:, dim][None, :]  # [1, N]
+                p_col = pos[:, dim][None, :]
+                s_src = jnp.sum(oh_src * s_col, axis=1, keepdims=True)
+                s_dst = jnp.sum(oh_dst * s_col, axis=1, keepdims=True)
+                p_src = jnp.sum(oh_src * p_col, axis=1, keepdims=True)
+                p_dst = jnp.sum(oh_dst * p_col, axis=1, keepdims=True)
+                jump = minimg1(p_dst - p_src, box[dim])
+                db_refs[dim][:] = db_refs[dim][:] + movingf * (
+                    s_src - s_dst + jump
+                )
+
+            key3 = _mix_key(seed, tile_id, frame_idx, ev, 3)
+            fresh_u = -jnp.log(_u01(key3, (TR, 1)))
+            u_out[:] = jnp.where(fire, fresh_u, u)
+            evc_out[:] = evc_out[:] + fire.astype(jnp.int32)
+            phase_scr[:] = jnp.where(fire, eph, phase)
+            done_scr[:] = jnp.logical_or(done, jnp.logical_not(fire))
+
+        def frame_body(f, _):
+            pos = pos_ref[f]  # [N, 3]
+            post = post_ref[f]  # [3, N]
+
+            for dim in range(3):
+                d = minimg1(
+                    pos[:, dim : dim + 1] - prev_scr[:, dim : dim + 1], box[dim]
+                )
+                s_scr[:, dim : dim + 1] = s_scr[:, dim : dim + 1] + d
+            prev_scr[:] = pos
+
+            dx = minimg1(pos[:, 0:1] - post[0:1, :], box[0])
+            dy = minimg1(pos[:, 1:2] - post[1:2, :], box[1])
+            dz = minimg1(pos[:, 2:3] - post[2:3, :], box[2])
+            dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)  # [N, N]
+            ii = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+            jj = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+            valid = jnp.logical_and(dist <= cutbuf, ii != jj)
+            W = jnp.where(valid, _apply_law(kind, dist, params), 0.0)
+
+            frame_idx = frame0 + f
+            frame_time = frame_idx.astype(f32) * f32(dt)
+
+            phase_scr[:] = jnp.zeros((TR, 1), f32)
+            done_scr[:] = jnp.zeros((TR, 1), jnp.bool_)
+
+            ev_iter(W, pos, frame_idx, frame_time, 0)
+            for ev in range(1, max_events):
+                any_live = jnp.sum(jnp.logical_not(done_scr[:]).astype(jnp.int32)) > 0
+
+                @pl.when(any_live)
+                def _(ev=ev):
+                    ev_iter(W, pos, frame_idx, frame_time, ev)
+
+            _, total = total_rate(W)
+            u_out[:] = u_out[:] - total * (f32(dt) - phase_scr[:])
+            return 0
+
+        jax.lax.fori_loop(0, B, frame_body, 0)
+
+        @pl.when(tile_id == 0)
+        def _():
+            s_out[:] = s_scr[:]
+            prev_out[:] = prev_scr[:]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "kind", "tile", "max_events", "dt", "seed", "cutbuf", "interpret"
+    ),
+)
+def kmc_sweep(
+    positions,  # [B, N, 3] f32
+    prev_pos,  # [N, 3]
+    site_disp,  # [N, 3]
+    occ,  # [R, N] f32
+    labels,  # [R, N] f32 proton label per site (0 empty)
+    sites,  # [R, P] i32
+    tlast,  # [R, P] f32
+    disp_base,  # [R, P, 3] f32
+    u_rem,  # [R] f32
+    ev_count,  # [R] i32
+    law_params,  # [6] f32
+    frame0,  # scalar i32
+    box_lengths,  # [3] f32
+    *,
+    kind: int,
+    tile: int,
+    max_events: int,
+    dt: float,
+    seed: int,
+    cutbuf: float,
+    interpret: bool = False,
+):
+    """Run the fused sweep over a block. Returns the updated state tuple
+    (occ, labels, sites, tlast, disp_base, u_rem, ev_count, site_disp,
+    prev_pos)."""
+    B, N, _ = positions.shape
+    R = occ.shape[0]
+    P = sites.shape[1]
+    TR = tile
+    assert R % TR == 0, (R, TR)
+    grid = (R // TR,)
+
+    kernel = _make_kernel(
+        n_sites=N, n_protons=P, tile=TR, block=B, max_events=max_events,
+        kind=kind, dt=dt, seed=seed, cutbuf=cutbuf,
+    )
+
+    box = jnp.concatenate(
+        [jnp.asarray(box_lengths, jnp.float32).reshape(3), jnp.zeros(1, jnp.float32)]
+    )
+    ints = jnp.asarray([frame0, 0], jnp.int32)
+    post = jnp.swapaxes(positions, 1, 2)
+
+    def rep_spec(*shape):
+        return pl.BlockSpec(
+            (TR, *shape), lambda r: (r,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    def full():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def smem():
+        return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    dbx = disp_base[..., 0]
+    dby = disp_base[..., 1]
+    dbz = disp_base[..., 2]
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((R, N), jnp.float32),
+        jax.ShapeDtypeStruct((R, N), jnp.float32),
+        jax.ShapeDtypeStruct((R, P), jnp.int32),
+        jax.ShapeDtypeStruct((R, P), jnp.float32),
+        jax.ShapeDtypeStruct((R, P), jnp.float32),
+        jax.ShapeDtypeStruct((R, P), jnp.float32),
+        jax.ShapeDtypeStruct((R, P), jnp.float32),
+        jax.ShapeDtypeStruct((R, 1), jnp.float32),
+        jax.ShapeDtypeStruct((R, 1), jnp.int32),
+        jax.ShapeDtypeStruct((N, 3), jnp.float32),
+        jax.ShapeDtypeStruct((N, 3), jnp.float32),
+    )
+    out_specs = (
+        rep_spec(N), rep_spec(N), rep_spec(P), rep_spec(P),
+        rep_spec(P), rep_spec(P), rep_spec(P), rep_spec(1), rep_spec(1),
+        full(), full(),
+    )
+
+    res = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            smem(), smem(), smem(),
+            full(), full(), full(), full(),
+            rep_spec(N), rep_spec(N), rep_spec(P), rep_spec(P),
+            rep_spec(P), rep_spec(P), rep_spec(P), rep_spec(1), rep_spec(1),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((N, 3), jnp.float32),  # s_scr
+            pltpu.VMEM((N, 3), jnp.float32),  # prev_scr
+            pltpu.VMEM((TR, 1), jnp.float32),  # phase
+            pltpu.VMEM((TR, 1), jnp.bool_),  # done
+        ],
+        # CPU runs use the TPU-semantics interpreter (the plain HLO interpreter
+        # has no lowering for the hardware PRNG primitives).
+        interpret=pltpu.InterpretParams() if interpret else False,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        box, ints, jnp.asarray(law_params, jnp.float32),
+        positions, post,
+        jnp.asarray(prev_pos, jnp.float32), jnp.asarray(site_disp, jnp.float32),
+        occ, labels, sites.astype(jnp.int32), tlast,
+        dbx, dby, dbz,
+        u_rem.reshape(R, 1), ev_count.reshape(R, 1).astype(jnp.int32),
+    )
+    (occ2, lab2, sites2, tlast2, dbx2, dby2, dbz2, u2, evc2, s2, prev2) = res
+    disp_base2 = jnp.stack([dbx2, dby2, dbz2], axis=-1)
+    return (
+        occ2, lab2, sites2, tlast2, disp_base2,
+        u2.reshape(R), evc2.reshape(R), s2, prev2,
+    )
