@@ -134,7 +134,7 @@ def test_event_ordinal_keying_is_chunk_invariant():
 
     key = jax.random.key(11)
     rng = np.random.RandomState(0)
-    rates = jnp.asarray(rng.uniform(0.0, 0.2, size=300), dtype=jnp.float32)
+    rates = jnp.asarray(rng.uniform(0.0, 0.2, size=120), dtype=jnp.float32)
 
     full_fired, full_phases = fastforward_events(rates, 0.5, key)
 
@@ -165,8 +165,8 @@ def test_event_ordinal_keying_is_chunk_invariant():
         return clock, fired, phases_out
 
     clock = init_clock(key)
-    clock, f1, p1 = run_chunk(clock, rates[:150], 0)
-    _, f2, p2 = run_chunk(clock, rates[150:], 150)
+    clock, f1, p1 = run_chunk(clock, rates[:60], 0)
+    _, f2, p2 = run_chunk(clock, rates[60:], 60)
 
     np.testing.assert_array_equal(np.asarray(full_fired), np.array(f1 + f2))
     got = np.array(p1 + p2)

@@ -52,7 +52,7 @@ def test_pick_tile():
 
 def test_invariants_and_event_rate():
     n_sites, n_protons, R = 10, 4, 32
-    a, dt, F = 0.03, 0.5, 600
+    a, dt, F = 0.04, 0.5, 400
     cell, model, positions, ens, _ = build(
         n_sites, n_protons, R, Constant(a=jnp.float32(a)), 100.0, 0.0, [30.0] * 3
     )
@@ -79,7 +79,7 @@ def test_invariants_and_event_rate():
 
 def test_ring_walk_msd_exact_law():
     """Periodic ring: unwrapped MSD must equal (jump length)^2 x event count."""
-    N, P, R, F, a, dt = 12, 1, 128, 800, 0.02, 0.5
+    N, P, R, F, a, dt = 12, 1, 128, 400, 0.04, 0.5
     pos = np.zeros((N, 3), np.float32)
     pos[:, 0] = 2.0 * np.arange(N)
     cell = Cell.cubic([24.0, 24.0, 24.0])
@@ -111,7 +111,7 @@ def test_ring_walk_msd_exact_law():
 def test_matches_xla_engine_distributionally():
     """Fermi rates on jittered geometry: fused and scan backends must agree on
     event statistics and ensemble MSD within CI."""
-    n_sites, n_protons, R, F, dt = 16, 6, 64, 500, 0.5
+    n_sites, n_protons, R, F, dt = 16, 6, 64, 300, 0.5
     law = Fermi(a=jnp.float32(0.08), b=jnp.float32(3.2), c=jnp.float32(0.3))
     cell, model, positions, ens, keys = build(
         n_sites, n_protons, R, law, 3.0, 1.5, [10.0] * 3
