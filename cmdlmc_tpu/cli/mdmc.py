@@ -15,6 +15,11 @@ def main(argv=None):
         "configfile", help="INI file configuring the cMD/LMC scheme"
     )
     parser.add_argument(
+        "--legacy",
+        action="store_true",
+        help="Treat the config as a legacy cMDLMC keyword-per-line file",
+    )
+    parser.add_argument(
         "--platform",
         default=None,
         help="Force a JAX platform (e.g. cpu) instead of the default device",
@@ -26,9 +31,18 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.platform)
 
-    from cmdlmc_tpu.driver import run_from_config
+    if args.legacy:
+        import logging
 
-    run_from_config(args.configfile)
+        from cmdlmc_tpu.config.legacy import load_legacy_config
+        from cmdlmc_tpu.driver import Simulation
+
+        cfg = load_legacy_config(args.configfile)
+        Simulation(cfg).run()
+    else:
+        from cmdlmc_tpu.driver import run_from_config
+
+        run_from_config(args.configfile)
 
 
 if __name__ == "__main__":

@@ -198,6 +198,7 @@ class EngineSection:
     checkpoint_path: Optional[str] = None  # .npz path; resume if it exists
     checkpoint_interval: int = 0  # blocks between checkpoints (0 = end only)
     backend: str = "auto"  # auto | fused | scan (fused = Pallas sweep kernel)
+    equilibration_sweeps: int = 0  # frames before observables start (legacy)
 
 
 _SECTIONS = {

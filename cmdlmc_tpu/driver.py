@@ -303,6 +303,7 @@ class Simulation:
                     reset_frequency=cfg.output.reset_frequency,
                     hist_range=tuple(self.hist_range),
                     emit_every=cfg.output.print_frequency,
+                    equilibration=cfg.engine.equilibration_sweeps,
                 )
                 rows = jax.device_get(rows)
             blocks_done += 1
@@ -320,6 +321,8 @@ class Simulation:
             else:
                 for i in range(block.n_frames):
                     frame_no = int(rows.frame[i])
+                    if frame_no < cfg.engine.equilibration_sweeps:
+                        continue
                     if frame_no % cfg.output.print_frequency == 0:
                         yield ObservableRecord(
                             frame=frame_no,

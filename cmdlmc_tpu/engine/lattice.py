@@ -426,7 +426,8 @@ def _reset_states(states: ReplicaState, site_disp):
 
 
 def _block_scan(model, cell, ens, keys, frames, dt, max_events,
-                reset_frequency, hist_range, emit_every, with_sites):
+                reset_frequency, hist_range, emit_every, with_sites,
+                equilibration=0):
     def step(carry, frame):
         states, site_disp, prev_pos = carry
         site_disp = site_disp + cell_displacement(cell, prev_pos, frame.donors)
@@ -438,10 +439,16 @@ def _block_scan(model, cell, ens, keys, frames, dt, max_events,
 
         states, n_fired = jax.vmap(per_replica)(states, keys)
 
+        reset = jnp.bool_(False)
         if reset_frequency > 0:
             reset = jnp.logical_and(
                 frame.index % reset_frequency == 0, frame.index > 0
             )
+        if equilibration > 0:
+            # one-time observable reset when equilibration ends (legacy
+            # equilibration_sweeps, IO/config_parser.py)
+            reset = jnp.logical_or(reset, frame.index == equilibration)
+        if reset_frequency > 0 or equilibration > 0:
             states = jax.lax.cond(
                 reset, lambda s: _reset_states(s, site_disp), lambda s: s, states
             )
@@ -468,7 +475,7 @@ def _block_scan(model, cell, ens, keys, frames, dt, max_events,
 @partial(
     jax.jit,
     static_argnames=("dt", "max_events", "reset_frequency", "hist_range",
-                     "emit_every"),
+                     "emit_every", "equilibration"),
 )
 def run_block(
     model,
@@ -482,6 +489,7 @@ def run_block(
     reset_frequency: int = 0,
     hist_range: tuple = (2.0, 3.0),
     emit_every: int = 1,
+    equilibration: int = 0,
 ) -> tuple[EnsembleState, ObsRow]:
     """Advance all replicas across a block of frames (stacked leading axis).
 
@@ -491,7 +499,8 @@ def run_block(
     independent of the block chunking.
     """
     return _block_scan(model, cell, ens, keys, frames, dt, max_events,
-                       reset_frequency, hist_range, emit_every, with_sites=False)
+                       reset_frequency, hist_range, emit_every,
+                       with_sites=False, equilibration=equilibration)
 
 
 @partial(
