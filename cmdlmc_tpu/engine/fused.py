@@ -54,6 +54,7 @@ def run_block_fused(
     seed: int = 0,
     tile: int | None = None,
     interpret: bool | None = None,
+    tile_offset=0,
 ) -> EnsembleState:
     """Advance all replicas across the block with the fused kernel. Returns the
     updated ensemble (no per-frame rows — the runner reads observables from
@@ -80,6 +81,7 @@ def run_block_fused(
         ks.law_params_array(model.law),
         jnp.int32(frame0),
         jnp.diagonal(cell.h),
+        tile_offset,
         kind=ks.law_kind(model.law),
         tile=tile,
         max_events=max_events,
@@ -103,5 +105,99 @@ def run_block_fused(
         disp_base=disp_base,
         clock=clock,
         jumps=rep.jumps + jumps_delta,
+    )
+    return EnsembleState(replicas=replicas, site_disp=s, prev_pos=prev)
+
+
+def run_block_fused_sharded(
+    model: PairRates,
+    cell: Cell,
+    ens: EnsembleState,
+    frames_positions,
+    frame0: int,
+    mesh,
+    *,
+    axis: str = "replica",
+    dt: float,
+    max_events: int = 4,
+    seed: int = 0,
+    tile: int | None = None,
+    interpret: bool | None = None,
+) -> EnsembleState:
+    """Multi-chip fused sweep: shard the replica axis over the mesh and run the
+    Pallas kernel per device under shard_map. Tile ids are offset per shard so
+    the RNG streams — and therefore the results — are identical to a
+    single-device run with the same tile size."""
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    R = ens.replicas.occ.shape[0]
+    assert R % n_dev == 0, (R, n_dev)
+    local_r = R // n_dev
+    if tile is None:
+        tile = pick_tile(local_r)
+    assert local_r % tile == 0, (local_r, tile)
+    tiles_per_dev = local_r // tile
+
+    rep0 = ens.replicas
+    cutbuf = float(model.cutoff) + float(model.buffer)
+
+    def local(occ, labels, sites, tlast, disp_base, u, evc, site_disp,
+              prev_pos, positions):
+        idx = jax.lax.axis_index(axis)
+        return ks.kmc_sweep(
+            positions, prev_pos, site_disp,
+            occ, labels, sites, tlast, disp_base, u, evc,
+            ks.law_params_array(model.law),
+            jnp.int32(frame0),
+            jnp.diagonal(cell.h),
+            idx * tiles_per_dev,
+            kind=ks.law_kind(model.law),
+            tile=tile,
+            max_events=max_events,
+            dt=float(dt),
+            seed=int(seed),
+            cutbuf=cutbuf,
+            interpret=bool(
+                interpret if interpret is not None
+                else jax.default_backend() != "tpu"
+            ),
+        )
+
+    (occ, labels, sites, tlast, disp_base, u, evc, s, prev) = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+            P(), P(), P(),
+        ),
+        out_specs=(
+            P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+            P(), P(),
+        ),
+        check_vma=False,
+    )(
+        rep0.occ,
+        rep0.proton_of_site.astype(jnp.float32),
+        rep0.site_of_proton,
+        rep0.t_last_jump,
+        rep0.disp_base,
+        rep0.clock.u_remaining,
+        rep0.clock.event_count,
+        ens.site_disp,
+        ens.prev_pos,
+        jnp.asarray(frames_positions, jnp.float32),
+    )
+    jumps_delta = evc - rep0.clock.event_count
+    clock = dataclasses.replace(rep0.clock, u_remaining=u, event_count=evc)
+    replicas = dataclasses.replace(
+        rep0,
+        occ=occ,
+        proton_of_site=jnp.round(labels).astype(jnp.int32),
+        site_of_proton=sites,
+        t_last_jump=tlast,
+        disp_base=disp_base,
+        clock=clock,
+        jumps=rep0.jumps + jumps_delta,
     )
     return EnsembleState(replicas=replicas, site_disp=s, prev_pos=prev)

@@ -153,7 +153,10 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
     ):
         box = [box_ref[0], box_ref[1], box_ref[2]]
         frame0 = ints_ref[0]
-        tile_id = pl.program_id(0)
+        # global tile id: program id plus the shard's tile offset, so RNG
+        # streams stay unique (and identical to a single-device run) when the
+        # replica axis is sharded over a mesh
+        tile_id = pl.program_id(0) + ints_ref[1]
         params = [params_ref[i] for i in range(6)]
 
         occ_out[:] = occ_ref[:]
@@ -312,6 +315,7 @@ def kmc_sweep(
     law_params,  # [6] f32
     frame0,  # scalar i32
     box_lengths,  # [3] f32
+    tile_offset=0,  # global index of this shard's first tile (sharded runs)
     *,
     kind: int,
     tile: int,
@@ -339,7 +343,9 @@ def kmc_sweep(
     box = jnp.concatenate(
         [jnp.asarray(box_lengths, jnp.float32).reshape(3), jnp.zeros(1, jnp.float32)]
     )
-    ints = jnp.asarray([frame0, 0], jnp.int32)
+    ints = jnp.stack([
+        jnp.asarray(frame0, jnp.int32), jnp.asarray(tile_offset, jnp.int32)
+    ])
     post = jnp.swapaxes(positions, 1, 2)
 
     def rep_spec(*shape):
