@@ -149,7 +149,7 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
         dbx_out, dby_out, dbz_out, u_out, evc_out,
         s_out, prev_out,
         # scratch
-        s_scr, prev_scr, phase_scr, done_scr,
+        s_scr, prev_scr, phase_scr, done_scr, w_scr,
     ):
         box = [box_ref[0], box_ref[1], box_ref[2]]
         frame0 = ints_ref[0]
@@ -258,14 +258,20 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
                 s_scr[:, dim : dim + 1] = s_scr[:, dim : dim + 1] + d
             prev_scr[:] = pos
 
-            dx = minimg1(pos[:, 0:1] - post[0:1, :], box[0])
-            dy = minimg1(pos[:, 1:2] - post[1:2, :], box[1])
-            dz = minimg1(pos[:, 2:3] - post[2:3, :], box[2])
-            dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)  # [N, N]
+            # accumulate squared distance per dimension through the scratch so
+            # only two [N, N] buffers are ever live (bounds VMEM for large N /
+            # supercells)
+            d0 = minimg1(pos[:, 0:1] - post[0:1, :], box[0])
+            w_scr[:] = d0 * d0
+            d1 = minimg1(pos[:, 1:2] - post[1:2, :], box[1])
+            w_scr[:] = w_scr[:] + d1 * d1
+            d2 = minimg1(pos[:, 2:3] - post[2:3, :], box[2])
+            dist = jnp.sqrt(w_scr[:] + d2 * d2)  # [N, N]
             ii = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
             jj = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
             valid = jnp.logical_and(dist <= cutbuf, ii != jj)
-            W = jnp.where(valid, _apply_law(kind, dist, params), 0.0)
+            w_scr[:] = jnp.where(valid, _apply_law(kind, dist, params), 0.0)
+            W = w_scr[:]
 
             frame_idx = frame0 + f
             frame_time = frame_idx.astype(f32) * f32(dt)
@@ -399,6 +405,7 @@ def kmc_sweep(
             pltpu.VMEM((N, 3), jnp.float32),  # prev_scr
             pltpu.VMEM((TR, 1), jnp.float32),  # phase
             pltpu.VMEM((TR, 1), jnp.bool_),  # done
+            pltpu.VMEM((N, N), jnp.float32),  # w_scr
         ],
         # CPU runs use the TPU-semantics interpreter (the plain HLO interpreter
         # has no lowering for the hardware PRNG primitives).

@@ -44,3 +44,10 @@ bench(16384, 144, 96, 256, 0.005, 128, label="cool R=16k")
 bench(16384, 144, 96, 256, 0.005, 256, label="cool R=16k tile=256")
 bench(65536, 144, 96, 128, 0.005, 256, label="cool R=64k")
 bench(16384, 144, 96, 256, 0.06, 128, label="hot R=16k")
+
+print("--- round 2: supercell + tiles ---", flush=True)
+bench(1024, 1152, 768, 64, 0.005, 128, label="supercell N=1152 R=1k")
+bench(4096, 1152, 768, 64, 0.005, 128, label="supercell N=1152 R=4k")
+bench(4096, 144, 96, 256, 0.005, 64, label="cool tile=64")
+bench(4096, 144, 96, 256, 0.005, 32, label="cool tile=32")
+bench(4096, 144, 96, 512, 0.005, 128, label="cool B=512")
