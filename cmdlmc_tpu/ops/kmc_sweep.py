@@ -258,19 +258,26 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
                 s_scr[:, dim : dim + 1] = s_scr[:, dim : dim + 1] + d
             prev_scr[:] = pos
 
-            # accumulate squared distance per dimension through the scratch so
-            # only two [N, N] buffers are ever live (bounds VMEM for large N /
-            # supercells)
-            d0 = minimg1(pos[:, 0:1] - post[0:1, :], box[0])
-            w_scr[:] = d0 * d0
-            d1 = minimg1(pos[:, 1:2] - post[1:2, :], box[1])
-            w_scr[:] = w_scr[:] + d1 * d1
-            d2 = minimg1(pos[:, 2:3] - post[2:3, :], box[2])
-            dist = jnp.sqrt(w_scr[:] + d2 * d2)  # [N, N]
-            ii = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
-            jj = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
-            valid = jnp.logical_and(dist <= cutbuf, ii != jj)
-            w_scr[:] = jnp.where(valid, _apply_law(kind, dist, params), 0.0)
+            # Build W row-chunk by row-chunk in the scratch: temporaries stay
+            # [RB, N]-sized, so VMEM peak ~ one [N, N] buffer even for
+            # supercell N (the full W must live for the MXU reductions).
+            RB = min(N, 256)
+            for r0 in range(0, N, RB):
+                rb = min(RB, N - r0)
+                prow = pos[r0 : r0 + rb]
+                acc = jnp.zeros((rb, N), f32)
+                for dim in range(3):
+                    dd = minimg1(
+                        prow[:, dim : dim + 1] - post[dim : dim + 1, :], box[dim]
+                    )
+                    acc += dd * dd
+                dist = jnp.sqrt(acc)
+                ii = jax.lax.broadcasted_iota(jnp.int32, (rb, N), 0) + r0
+                jj = jax.lax.broadcasted_iota(jnp.int32, (rb, N), 1)
+                valid = jnp.logical_and(dist <= cutbuf, ii != jj)
+                w_scr[r0 : r0 + rb, :] = jnp.where(
+                    valid, _apply_law(kind, dist, params), 0.0
+                )
             W = w_scr[:]
 
             frame_idx = frame0 + f
@@ -411,6 +418,10 @@ def kmc_sweep(
         # has no lowering for the hardware PRNG primitives).
         interpret=pltpu.InterpretParams() if interpret else False,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        input_output_aliases={
+            7: 0, 8: 1, 9: 2, 10: 3, 11: 4, 12: 5, 13: 6, 14: 7, 15: 8,
+            6: 9, 5: 10,
+        },
     )(
         box, ints, jnp.asarray(law_params, jnp.float32),
         positions, post,
