@@ -172,6 +172,7 @@ class Simulation:
         self.hist_range = (2.0, 3.0)
         self.track_jump_matrix = bool(cfg.engine.jumpmatrix_filename)
         self.final_states = None
+        self._max_truncation = 0.0
 
     # -- streaming --------------------------------------------------------------
 
@@ -306,6 +307,9 @@ class Simulation:
                     equilibration=cfg.engine.equilibration_sweeps,
                 )
                 rows = jax.device_get(rows)
+                trunc = float(np.max(np.asarray(rows.truncated_mean)))
+                if trunc > self._max_truncation:
+                    self._max_truncation = trunc
             blocks_done += 1
             if (
                 ckpt_path
@@ -475,6 +479,13 @@ class Simulation:
             np.save(cfg.engine.jumpmatrix_filename, jumpmatrix)
             print(
                 f"# jump matrix saved to {cfg.engine.jumpmatrix_filename}",
+                file=out,
+            )
+        if self._max_truncation > 0:
+            print(
+                f"# WARNING: up to {100 * self._max_truncation:.2f}% of replicas "
+                "hit max_events_per_frame in some frame — raise "
+                "[Engine] max_events_per_frame",
                 file=out,
             )
         # first-class perf meter (SURVEY.md §5.1: fps + site-updates/s column)

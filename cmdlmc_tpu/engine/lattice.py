@@ -115,10 +115,14 @@ class ReplicaState:
         "autocorr_var",
         "jumps_mean",
         "events_mean",
+        "truncated_mean",
     ]
 )
 class ObsRow:
-    """Per-frame ensemble observables (mean/variance across replicas)."""
+    """Per-frame ensemble observables (mean/variance across replicas).
+    ``truncated_mean`` is the fraction of replicas that hit the per-frame
+    event bound this frame — a nonzero value means max_events_per_frame should
+    be raised (no silent caps)."""
 
     frame: Array
     time: Array
@@ -128,6 +132,7 @@ class ObsRow:
     autocorr_var: Array
     jumps_mean: Array
     events_mean: Array
+    truncated_mean: Array
 
 
 @_pytree(data_fields=["replicas", "site_disp", "prev_pos"])
@@ -402,6 +407,7 @@ def _make_row(states: ReplicaState, site_disp, frame):
         autocorr_var=autocorr.astype(jnp.float32).var(),
         jumps_mean=states.jumps.astype(jnp.float32).mean(),
         events_mean=states.clock.event_count.astype(jnp.float32).mean(),
+        truncated_mean=jnp.float32(0.0),
     )
 
 
@@ -409,7 +415,8 @@ def _empty_row(frame):
     z3 = jnp.zeros(3, jnp.float32)
     z = jnp.float32(0.0)
     return ObsRow(frame=frame.index, time=frame.time, msd_mean=z3, msd_var=z3,
-                  autocorr_mean=z, autocorr_var=z, jumps_mean=z, events_mean=z)
+                  autocorr_mean=z, autocorr_var=z, jumps_mean=z, events_mean=z,
+                  truncated_mean=z)
 
 
 def _reset_states(states: ReplicaState, site_disp):
@@ -462,6 +469,12 @@ def _block_scan(model, cell, ens, keys, frames, dt, max_events,
             )
         else:
             row = _make_row(states, site_disp, frame)
+        # event-bound telemetry is never gated: a replica that used all
+        # max_events slots this frame may have been truncated
+        row = dataclasses.replace(
+            row,
+            truncated_mean=(n_fired >= max_events).astype(jnp.float32).mean(),
+        )
 
         out = (row, states.site_of_proton[0]) if with_sites else row
         return (states, site_disp, frame.donors), out
