@@ -138,10 +138,10 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
         box_ref,  # SMEM f32 [4]: box lengths (3) + pad
         ints_ref,  # SMEM i32 [2]: frame0, pad
         params_ref,  # SMEM f32 [6]: law params
-        pos_ref,  # [B, N, 3]
-        post_ref,  # [B, 3, N]
-        prev_ref,  # [N, 3]
-        s0_ref,  # [N, 3]
+        post_ref,  # [B, 3, N] positions, transposed (lane dim = sites: a
+        #            [B, N, 3] layout would pad the 3 to 128 lanes, 42x VMEM)
+        prev_ref,  # [3, N]
+        s0_ref,  # [3, N]
         occ_ref, lab_ref, site_ref, tlast_ref,
         dbx_ref, dby_ref, dbz_ref, u_ref, evc_ref,
         # outputs
@@ -185,7 +185,7 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
             row = occ * out
             return row, jnp.sum(row, axis=1, keepdims=True)
 
-        def ev_iter(W, pos, frame_idx, frame_time, ev):
+        def ev_iter(W, post, frame_idx, frame_time, ev):
             row, total = total_rate(W)
             phase = phase_scr[:]
             done = done_scr[:]
@@ -229,8 +229,8 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
             movingf = moving.astype(f32)
             db_refs = (dbx_out, dby_out, dbz_out)
             for dim in range(3):
-                s_col = s_scr[:, dim][None, :]  # [1, N]
-                p_col = pos[:, dim][None, :]
+                s_col = s_scr[dim : dim + 1, :]  # [1, N]
+                p_col = post[dim : dim + 1, :]
                 s_src = jnp.sum(oh_src * s_col, axis=1, keepdims=True)
                 s_dst = jnp.sum(oh_dst * s_col, axis=1, keepdims=True)
                 p_src = jnp.sum(oh_src * p_col, axis=1, keepdims=True)
@@ -248,15 +248,14 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
             done_scr[:] = jnp.logical_or(done, jnp.logical_not(fire))
 
         def frame_body(f, _):
-            pos = pos_ref[f]  # [N, 3]
             post = post_ref[f]  # [3, N]
 
             for dim in range(3):
                 d = minimg1(
-                    pos[:, dim : dim + 1] - prev_scr[:, dim : dim + 1], box[dim]
+                    post[dim : dim + 1, :] - prev_scr[dim : dim + 1, :], box[dim]
                 )
-                s_scr[:, dim : dim + 1] = s_scr[:, dim : dim + 1] + d
-            prev_scr[:] = pos
+                s_scr[dim : dim + 1, :] = s_scr[dim : dim + 1, :] + d
+            prev_scr[:] = post
 
             # Build W row-chunk by row-chunk in the scratch: temporaries stay
             # [RB, N]-sized, so VMEM peak ~ one [N, N] buffer even for
@@ -264,12 +263,10 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
             RB = min(N, 256)
             for r0 in range(0, N, RB):
                 rb = min(RB, N - r0)
-                prow = pos[r0 : r0 + rb]
                 acc = jnp.zeros((rb, N), f32)
                 for dim in range(3):
-                    dd = minimg1(
-                        prow[:, dim : dim + 1] - post[dim : dim + 1, :], box[dim]
-                    )
+                    rowvals = jnp.transpose(post[dim : dim + 1, r0 : r0 + rb])
+                    dd = minimg1(rowvals - post[dim : dim + 1, :], box[dim])
                     acc += dd * dd
                 dist = jnp.sqrt(acc)
                 ii = jax.lax.broadcasted_iota(jnp.int32, (rb, N), 0) + r0
@@ -286,13 +283,13 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
             phase_scr[:] = jnp.zeros((TR, 1), f32)
             done_scr[:] = jnp.zeros((TR, 1), jnp.bool_)
 
-            ev_iter(W, pos, frame_idx, frame_time, 0)
+            ev_iter(W, post, frame_idx, frame_time, 0)
             for ev in range(1, max_events):
                 any_live = jnp.sum(jnp.logical_not(done_scr[:]).astype(jnp.int32)) > 0
 
                 @pl.when(any_live)
                 def _(ev=ev):
-                    ev_iter(W, pos, frame_idx, frame_time, ev)
+                    ev_iter(W, post, frame_idx, frame_time, ev)
 
             _, total = total_rate(W)
             u_out[:] = u_out[:] - total * (f32(dt) - phase_scr[:])
@@ -359,7 +356,7 @@ def kmc_sweep(
     ints = jnp.stack([
         jnp.asarray(frame0, jnp.int32), jnp.asarray(tile_offset, jnp.int32)
     ])
-    post = jnp.swapaxes(positions, 1, 2)
+    post = jnp.swapaxes(positions, 1, 2)  # [B, 3, N] — lane dim = sites
 
     def rep_spec(*shape):
         return pl.BlockSpec(
@@ -387,8 +384,8 @@ def kmc_sweep(
         jax.ShapeDtypeStruct((R, P), jnp.float32),
         jax.ShapeDtypeStruct((R, 1), jnp.float32),
         jax.ShapeDtypeStruct((R, 1), jnp.int32),
-        jax.ShapeDtypeStruct((N, 3), jnp.float32),
-        jax.ShapeDtypeStruct((N, 3), jnp.float32),
+        jax.ShapeDtypeStruct((3, N), jnp.float32),
+        jax.ShapeDtypeStruct((3, N), jnp.float32),
     )
     out_specs = (
         rep_spec(N), rep_spec(N), rep_spec(P), rep_spec(P),
@@ -401,15 +398,15 @@ def kmc_sweep(
         grid=grid,
         in_specs=[
             smem(), smem(), smem(),
-            full(), full(), full(), full(),
+            full(), full(), full(),
             rep_spec(N), rep_spec(N), rep_spec(P), rep_spec(P),
             rep_spec(P), rep_spec(P), rep_spec(P), rep_spec(1), rep_spec(1),
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((N, 3), jnp.float32),  # s_scr
-            pltpu.VMEM((N, 3), jnp.float32),  # prev_scr
+            pltpu.VMEM((3, N), jnp.float32),  # s_scr
+            pltpu.VMEM((3, N), jnp.float32),  # prev_scr
             pltpu.VMEM((TR, 1), jnp.float32),  # phase
             pltpu.VMEM((TR, 1), jnp.bool_),  # done
             pltpu.VMEM((N, N), jnp.float32),  # w_scr
@@ -419,13 +416,14 @@ def kmc_sweep(
         interpret=pltpu.InterpretParams() if interpret else False,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         input_output_aliases={
-            7: 0, 8: 1, 9: 2, 10: 3, 11: 4, 12: 5, 13: 6, 14: 7, 15: 8,
-            6: 9, 5: 10,
+            6: 0, 7: 1, 8: 2, 9: 3, 10: 4, 11: 5, 12: 6, 13: 7, 14: 8,
+            5: 9, 4: 10,
         },
     )(
         box, ints, jnp.asarray(law_params, jnp.float32),
-        positions, post,
-        jnp.asarray(prev_pos, jnp.float32), jnp.asarray(site_disp, jnp.float32),
+        post,
+        jnp.asarray(prev_pos, jnp.float32).T,
+        jnp.asarray(site_disp, jnp.float32).T,
         occ, labels, sites.astype(jnp.int32), tlast,
         dbx, dby, dbz,
         u_rem.reshape(R, 1), ev_count.reshape(R, 1).astype(jnp.int32),
@@ -434,5 +432,5 @@ def kmc_sweep(
     disp_base2 = jnp.stack([dbx2, dby2, dbz2], axis=-1)
     return (
         occ2, lab2, sites2, tlast2, disp_base2,
-        u2.reshape(R), evc2.reshape(R), s2, prev2,
+        u2.reshape(R), evc2.reshape(R), s2.T, prev2.T,
     )
