@@ -2,6 +2,9 @@
 configs: 8 P atoms, each with 4 surrounding O donors, jittering over 2000
 frames in a 12 A cubic box."""
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
