@@ -354,7 +354,10 @@ class Simulation:
         cfg = self.cfg
         block_end = block.start + block.n_frames
         records = []
-        if block_end % cfg.output.print_frequency == 0:
+        if (
+            block_end % cfg.output.print_frequency == 0
+            and block_end >= cfg.engine.equilibration_sweeps
+        ):
             msd, autocorr = eng.observables_of(states.replicas, states.site_disp)
             msd = np.asarray(msd)
             autocorr = np.asarray(autocorr, dtype=float)
@@ -371,10 +374,14 @@ class Simulation:
                     ),
                 )
             )
-        if (
+        do_reset = (
             cfg.output.reset_frequency > 0
             and block_end % cfg.output.reset_frequency == 0
-        ):
+        ) or (
+            cfg.engine.equilibration_sweeps > 0
+            and block_end == cfg.engine.equilibration_sweeps
+        )
+        if do_reset:
             states = dataclasses.replace(
                 states,
                 replicas=eng._reset_states(states.replicas, states.site_disp),

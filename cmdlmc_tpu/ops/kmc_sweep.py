@@ -260,7 +260,7 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
             # Build W row-chunk by row-chunk in the scratch: temporaries stay
             # [RB, N]-sized, so VMEM peak ~ one [N, N] buffer even for
             # supercell N (the full W must live for the MXU reductions).
-            RB = min(N, 256)
+            RB = min(N, 256 if N <= 512 else 128)
             for r0 in range(0, N, RB):
                 rb = min(RB, N - r0)
                 acc = jnp.zeros((rb, N), f32)
