@@ -34,8 +34,14 @@ def fused_supported(model, cell: Cell, ens: EnsembleState) -> bool:
     return True
 
 
-def pick_tile(n_replicas: int, target: int = 128) -> int:
-    """Largest divisor of R not exceeding the target tile size."""
+def pick_tile(n_replicas: int, target: int = 128, n_sites: int = 0) -> int:
+    """Largest divisor of R not exceeding the target tile size. For large
+    site counts the per-tile VMEM footprint (several [tile, N] buffers plus
+    the [N, N] rate-matrix scratch) forces smaller tiles."""
+    if n_sites > 768:
+        target = min(target, 32)
+    elif n_sites > 384:
+        target = min(target, 64)
     t = min(target, n_replicas)
     while n_replicas % t:
         t -= 1
@@ -62,7 +68,7 @@ def run_block_fused(
     rep = ens.replicas
     R = rep.occ.shape[0]
     if tile is None:
-        tile = pick_tile(R)
+        tile = pick_tile(R, n_sites=rep.occ.shape[1])
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -135,7 +141,7 @@ def run_block_fused_sharded(
     assert R % n_dev == 0, (R, n_dev)
     local_r = R // n_dev
     if tile is None:
-        tile = pick_tile(local_r)
+        tile = pick_tile(local_r, n_sites=ens.replicas.occ.shape[1])
     assert local_r % tile == 0, (local_r, tile)
     tiles_per_dev = local_r // tile
 
