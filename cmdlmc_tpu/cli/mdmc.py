@@ -32,8 +32,6 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
 
     if args.legacy:
-        import logging
-
         from cmdlmc_tpu.config.legacy import load_legacy_config
         from cmdlmc_tpu.driver import Simulation
 

@@ -17,13 +17,12 @@ from __future__ import annotations
 import dataclasses
 import logging
 import sys
-from typing import Iterator, Optional
+from typing import Iterator
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cmdlmc_tpu import __version__
 from cmdlmc_tpu.config.schema import SimulationConfig, load_config
 from cmdlmc_tpu.core.cell import Cell, extended_positions
 from cmdlmc_tpu.engine import lattice as eng

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from cmdlmc_tpu.core.cell import Cell
-from cmdlmc_tpu.engine.lattice import EnsembleState, ReplicaState
+from cmdlmc_tpu.engine.lattice import EnsembleState
 from cmdlmc_tpu.ops import kmc_sweep as ks
 from cmdlmc_tpu.topo.models import PairRates
 

@@ -29,15 +29,13 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 
 from cmdlmc_tpu.core.cell import Cell, displacement as cell_displacement
 from cmdlmc_tpu.engine import clock as kmc_clock
 from cmdlmc_tpu.engine.clock import ClockState
-from cmdlmc_tpu.topo.models import DenseShared, Frame, TopKShared
+from cmdlmc_tpu.topo.models import DenseShared, Frame
 
 Array = jax.Array
 

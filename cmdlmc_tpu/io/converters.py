@@ -6,8 +6,6 @@ from __future__ import annotations
 import logging
 import os
 
-import numpy as np
-
 from cmdlmc_tpu.io.frames import remove_center_of_mass_movement
 from cmdlmc_tpu.io.hdf5 import TRAJECTORY_KEY, write_trajectory
 from cmdlmc_tpu.io.xyz import XYZTrajectory
