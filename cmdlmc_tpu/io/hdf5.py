@@ -104,22 +104,37 @@ def write_trajectory(
     frame_iter,
     *,
     dataset_name: str = TRAJECTORY_KEY,
-    log_every: int = 1000,
+    log_every: int = 10000,
+    slab_frames: int = 1000,
 ):
     """Create the reference-layout HDF5 file from an iterator of position
-    arrays (converters.py:22-50)."""
+    arrays (converters.py:22-50). Frames are buffered into slabs so each HDF5
+    write covers whole compressed chunks — frame-by-frame writes re-compress
+    every chunk per frame and are ~100x slower at scale."""
     with h5py.File(hdf5_fname, "w") as f:
         names_bytes = np.asarray(atom_names).astype("S4")
         ds_names = f.create_dataset(ATOMNAMES_KEY, names_bytes.shape, dtype="S4")
         ds_names[:] = names_bytes
+        chunk_frames = min(slab_frames, max(1, n_frames))
         traj = f.create_dataset(
             dataset_name,
             shape=(n_frames, *frame_shape),
             dtype=np.float32,
+            chunks=(chunk_frames, *frame_shape),
             **_compression_kwargs(),
         )
-        for i, positions in enumerate(frame_iter):
-            if i % log_every == 0:
-                logger.info("Frame %i", i)
-            traj[i] = positions
+        slab = np.empty((slab_frames, *frame_shape), dtype=np.float32)
+        filled = 0
+        written = 0
+        for positions in frame_iter:
+            slab[filled] = positions
+            filled += 1
+            if filled == slab_frames:
+                traj[written : written + filled] = slab
+                written += filled
+                filled = 0
+                if written % log_every == 0:
+                    logger.info("Frame %i", written)
+        if filled:
+            traj[written : written + filled] = slab[:filled]
     return hdf5_fname
