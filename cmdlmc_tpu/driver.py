@@ -143,6 +143,23 @@ def build_model(cfg: SimulationConfig, cell: Cell, law, first_block):
     raise ValueError(f"Unknown topology type {topo.type_!r}")
 
 
+@jax.jit
+def _fused_obs_stats(states):
+    """Device-side reduction of block-boundary observables into one vector:
+    [msd_mean(3), msd_var(3), autocorr_mean, autocorr_var, jumps_mean]."""
+    msd, autocorr = eng.observables_of(states.replicas, states.site_disp)
+    autocorr = autocorr.astype(jnp.float32)
+    return jnp.concatenate([
+        msd.mean(axis=0),
+        msd.var(axis=0),
+        jnp.stack([
+            autocorr.mean(),
+            autocorr.var(),
+            states.replicas.jumps.astype(jnp.float32).mean(),
+        ]),
+    ])
+
+
 @dataclasses.dataclass
 class ObservableRecord:
     frame: int
@@ -172,6 +189,10 @@ class Simulation:
         self.track_jump_matrix = bool(cfg.engine.jumpmatrix_filename)
         self.final_states = None
         self._max_truncation = 0.0
+        # steady-state perf bookkeeping (first block carries backend init +
+        # compile; exclude it from the sustained rate)
+        self._steady_t0 = None
+        self._steady_frames0 = 0
 
     # -- streaming --------------------------------------------------------------
 
@@ -319,6 +340,11 @@ class Simulation:
                     ckpt_path, states, keys, block.start + block.n_frames,
                     meta={"seed": cfg.engine.seed},
                 )
+            if self._steady_t0 is None:
+                import time as _t
+
+                self._steady_t0 = _t.time()
+                self._steady_frames0 = block.start + block.n_frames
             if use_fused:
                 yield from fused_records
             else:
@@ -357,20 +383,19 @@ class Simulation:
             block_end % cfg.output.print_frequency == 0
             and block_end >= cfg.engine.equilibration_sweeps
         ):
-            msd, autocorr = eng.observables_of(states.replicas, states.site_disp)
-            msd = np.asarray(msd)
-            autocorr = np.asarray(autocorr, dtype=float)
+            # One bundled device->host fetch: on a tunneled/remote backend each
+            # fetch costs a round trip, so the reductions happen on device and
+            # come back as a single 9-vector.
+            stats = np.asarray(_fused_obs_stats(states))
             records.append(
                 ObservableRecord(
                     frame=block_end,
                     time=block_end * self.dt,
-                    msd=msd.mean(axis=0),
-                    msd_var=msd.var(axis=0),
-                    autocorr=autocorr.mean(),
-                    autocorr_var=autocorr.var(),
-                    jumps=float(
-                        np.asarray(states.replicas.jumps, dtype=float).mean()
-                    ),
+                    msd=stats[0:3],
+                    msd_var=stats[3:6],
+                    autocorr=float(stats[6]),
+                    autocorr_var=float(stats[7]),
+                    jumps=float(stats[8]),
                 )
             )
         do_reset = (
@@ -499,11 +524,20 @@ class Simulation:
         if frames_done and self.final_states is not None:
             n_sites = self.final_states.replicas.occ.shape[-1]
             fps = frames_done / elapsed
-            print(
+            line = (
                 f"# perf: {fps:.1f} frames/s, "
-                f"{fps * cfg.engine.replicas * n_sites:.3e} site-updates/s",
-                file=out,
+                f"{fps * cfg.engine.replicas * n_sites:.3e} site-updates/s"
             )
+            if self._steady_t0 is not None and frames_done > self._steady_frames0:
+                steady_fps = (frames_done - self._steady_frames0) / max(
+                    _time.time() - self._steady_t0, 1e-9
+                )
+                line += (
+                    f" (steady-state, excl. compile: {steady_fps:.1f} frames/s, "
+                    f"{steady_fps * cfg.engine.replicas * n_sites:.3e} "
+                    "site-updates/s)"
+                )
+            print(line, file=out)
 
 
 def config_echo(cfg: SimulationConfig) -> list[str]:
