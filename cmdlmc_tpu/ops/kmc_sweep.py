@@ -130,9 +130,16 @@ def _u01(key, shape):
 
 
 def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
-                 cutbuf):
+                 cutbuf, use_bf16=False):
     N, P, TR, B = n_sites, n_protons, tile, block
     f32 = jnp.float32
+    mxu_t = jnp.bfloat16 if use_bf16 else jnp.float32
+
+    def mxu_dot(a, b):
+        return jax.lax.dot_general(
+            a.astype(mxu_t), b.astype(mxu_t), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     def kernel(
         box_ref,  # SMEM f32 [4]: box lengths (3) + pad
@@ -178,10 +185,7 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
 
         def total_rate(W):
             occ = occ_out[:]
-            out = jax.lax.dot_general(
-                1.0 - occ, W, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            out = mxu_dot(1.0 - occ, W)
             row = occ * out
             return row, jnp.sum(row, axis=1, keepdims=True)
 
@@ -200,10 +204,7 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
             g1 = -jnp.log(-jnp.log(_u01(key1, (TR, N))))
             src = jnp.argmax(jnp.log(row) + g1, axis=1)  # [TR]
             oh_src = (iota_n == src[:, None]).astype(f32)
-            srcrow = jax.lax.dot_general(
-                oh_src, W, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            srcrow = mxu_dot(oh_src, W)
             vac = 1.0 - occ_out[:]
             w2 = srcrow * vac
             key2 = _mix_key(seed, tile_id, frame_idx, ev, 2)
@@ -308,7 +309,8 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "kind", "tile", "max_events", "dt", "seed", "cutbuf", "interpret"
+        "kind", "tile", "max_events", "dt", "seed", "cutbuf", "interpret",
+        "use_bf16",
     ),
 )
 def kmc_sweep(
@@ -334,6 +336,7 @@ def kmc_sweep(
     seed: int,
     cutbuf: float,
     interpret: bool = False,
+    use_bf16: bool = False,
 ):
     """Run the fused sweep over a block. Returns the updated state tuple
     (occ, labels, sites, tlast, disp_base, u_rem, ev_count, site_disp,
@@ -347,7 +350,7 @@ def kmc_sweep(
 
     kernel = _make_kernel(
         n_sites=N, n_protons=P, tile=TR, block=B, max_events=max_events,
-        kind=kind, dt=dt, seed=seed, cutbuf=cutbuf,
+        kind=kind, dt=dt, seed=seed, cutbuf=cutbuf, use_bf16=use_bf16,
     )
 
     box = jnp.concatenate(
