@@ -24,6 +24,13 @@ def main(argv=None):
         default=None,
         help="Force a JAX platform (e.g. cpu) instead of the default device",
     )
+    parser.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="Capture a jax.profiler trace of the run into DIR "
+             "(view with TensorBoard / Perfetto)",
+    )
     args = parser.parse_args(argv)
 
     if args.platform:
@@ -31,16 +38,26 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.platform)
 
-    if args.legacy:
-        from cmdlmc_tpu.config.legacy import load_legacy_config
-        from cmdlmc_tpu.driver import Simulation
+    import contextlib
 
-        cfg = load_legacy_config(args.configfile)
-        Simulation(cfg).run()
+    if args.profile:
+        import jax
+
+        profile_cm = jax.profiler.trace(args.profile)
     else:
-        from cmdlmc_tpu.driver import run_from_config
+        profile_cm = contextlib.nullcontext()
 
-        run_from_config(args.configfile)
+    with profile_cm:
+        if args.legacy:
+            from cmdlmc_tpu.config.legacy import load_legacy_config
+            from cmdlmc_tpu.driver import Simulation
+
+            cfg = load_legacy_config(args.configfile)
+            Simulation(cfg).run()
+        else:
+            from cmdlmc_tpu.driver import run_from_config
+
+            run_from_config(args.configfile)
 
 
 if __name__ == "__main__":
