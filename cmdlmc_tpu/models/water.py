@@ -274,3 +274,117 @@ def run_water_block(
 
     states, (sites, msd) = jax.lax.scan(step, states, (positions_block, frame_indices))
     return states, sites, msd
+
+
+# ----------------------------------------------------------------------------
+# Fused-kernel backend (ops/water_sweep.py)
+# ----------------------------------------------------------------------------
+
+
+def water_fused_supported(model: WaterModel) -> bool:
+    """Kernel applicability: orthorhombic cell, kernel-known law and distance
+    transform, no check_from_old (scan fallback otherwise)."""
+    from cmdlmc_tpu.ops import kmc_sweep as ks
+    from cmdlmc_tpu.topo import transforms as tr
+
+    if not model.cell.orthorhombic:
+        return False
+    if ks.law_kind(model.law) is None:
+        return False
+    if model.check_from_old:
+        return False
+    if model.n_atoms not in (3, 4):
+        return False
+    if model.transform is not None and not isinstance(
+        model.transform, (tr.LinearTransformation, tr.ReLUTransformation)
+    ):
+        return False
+    return True
+
+
+def _transform_spec(model: WaterModel):
+    from cmdlmc_tpu.ops import water_sweep as ws
+    from cmdlmc_tpu.topo import transforms as tr
+
+    t = model.transform
+    if t is None:
+        return ws.T_NONE, jnp.zeros(5, jnp.float32)
+    if isinstance(t, tr.LinearTransformation):
+        return ws.T_LINEAR, jnp.stack(
+            [t.a, t.b, jnp.float32(0.0), t.left_bound, t.right_bound]
+        ).astype(jnp.float32)
+    if isinstance(t, tr.ReLUTransformation):
+        return ws.T_RAMP, jnp.stack(
+            [t.a, t.b, t.d0, t.left_bound, t.right_bound]
+        ).astype(jnp.float32)
+    raise ValueError(f"Unsupported transform {type(t)}")
+
+
+def run_water_block_fused(
+    model: WaterModel,
+    states: WaterState,
+    positions_block,  # [B, N, 3]
+    frame0: int,
+    *,
+    site_disp,  # [N, 3] shared displacement prefix at block start
+    prev_pos,  # [N, 3] positions of the frame before the block
+    dt: float,
+    max_events: int = 4,
+    seed: int = 0,
+    tile: int | None = None,
+    interpret: bool | None = None,
+    tile_offset: int = 0,
+):
+    """Advance the water ensemble with the fused Pallas kernel.
+
+    Returns (states', site_disp', prev_pos'). The snapshot/displacement fields
+    are converted to/from the kernel's rebased form at the block boundaries,
+    so the WaterState contract is unchanged.
+    """
+    from cmdlmc_tpu.engine.fused import pick_tile
+    from cmdlmc_tpu.ops import kmc_sweep as ks
+    from cmdlmc_tpu.ops import water_sweep as ws
+
+    R = states.site.shape[0]
+    if tile is None:
+        tile = pick_tile(R, n_sites=positions_block.shape[1])
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    tkind, tparams = _transform_spec(model)
+    site_disp = jnp.asarray(site_disp, jnp.float32)
+    prev_pos = jnp.asarray(prev_pos, jnp.float32)
+
+    # entry conversion: displacement = A + S[site] + corr
+    a_in = states.displacement - site_disp[states.site] - states.correction
+
+    (site, last, fsj, wait, jumps, evc, u, corr, a_out, s_out, prev_out) = (
+        ws.water_sweep(
+            jnp.asarray(positions_block, jnp.float32),
+            prev_pos, site_disp,
+            states.site, states.last_site, states.frames_since_jump,
+            states.wait_left, states.jumps, states.clock.event_count,
+            states.clock.u_remaining,
+            states.correction, a_in,
+            ks.law_params_array(model.law), tparams,
+            jnp.int32(frame0), jnp.diagonal(model.cell.h),
+            jnp.int32(tile_offset),
+            kind=ks.law_kind(model.law), tkind=tkind,
+            k_atoms=model.n_atoms, tile=tile, max_events=max_events,
+            dt=float(dt), seed=int(seed),
+            relax=int(model.relaxation_time), waiting=int(model.waiting_time),
+            keep_last=bool(model.keep_last_neighbor_rescaled),
+            d_oh=float(model.d_oh), interpret=bool(interpret),
+        )
+    )
+    displacement = a_out + s_out[site] + corr
+    snapshot = prev_out[site] + corr
+    clock = dataclasses.replace(
+        states.clock, u_remaining=u, event_count=evc
+    )
+    new_states = WaterState(
+        site=site, last_site=last, frames_since_jump=fsj, wait_left=wait,
+        correction=corr, clock=clock, jumps=jumps, snapshot=snapshot,
+        displacement=displacement,
+    )
+    return new_states, s_out, prev_out

@@ -1,0 +1,393 @@
+"""Fused Pallas sweep kernel for the single-excess-proton water model.
+
+Companion to ops/kmc_sweep.py for the legacy "KMCWater" family
+(models/water.py): one ``pallas_call`` advances a tile of replicas across a
+frame block with everything on-chip —
+
+  per frame (shared within the tile):
+    1. [N, N] minimum-image distance matrix (positions kept in [3, N] layout)
+    2. iterative top-K nearest neighbors per site (argmin + mask, K = n_atoms)
+    3. distance rescaling (none / linear / ramp) into an [N, K] table
+  per replica (vector ops over the tile):
+    4. candidate gathers as one-hot MXU matmuls (site row of the K tables)
+    5. relaxation blend, back-jump rescaling (incl. the 4-neighbor slot
+       shift), waiting-time gate, rate law
+    6. KMC clock + 3-way selection + d_OH correction + displacement rebase
+
+Unsupported in the kernel (scan fallback): interpolated-table rescaling and
+``check_from_old``. RNG and determinism rules match kmc_sweep.py (counter-based
+hash keyed by (seed, tile, absolute frame, event iter)).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cmdlmc_tpu.ops.kmc_sweep import _apply_law, _mix_key, _u01
+
+Array = jax.Array
+
+_BIG = 1.0e9
+
+# transform kinds
+T_NONE, T_LINEAR, T_RAMP = 0, 1, 2
+
+
+def _apply_transform(tkind: int, d, tp):
+    """tp = [a, b, d0, left, right]."""
+    if tkind == T_NONE:
+        return d
+    if tkind == T_LINEAR:
+        inside = jnp.logical_and(tp[3] < d, d < tp[4])
+        return jnp.where(inside, tp[0] * d + tp[1], d)
+    # ramp / ReLU
+    resc = jnp.where(d < tp[2], tp[1], tp[0] * (d - tp[2]) + tp[1])
+    outside = jnp.logical_or(d <= tp[3], tp[4] <= d)
+    return jnp.where(outside, d, resc)
+
+
+def _make_kernel(*, n_sites, tile, block, k_atoms, kind, tkind, dt, seed,
+                 relax, waiting, keep_last, d_oh, max_events):
+    N, TR, B, K = n_sites, tile, block, k_atoms
+    f32 = jnp.float32
+    KL = 8  # lane-padded candidate width
+
+    def kernel(
+        box_ref,  # SMEM f32 [4]
+        ints_ref,  # SMEM i32 [2]: frame0, tile_offset
+        lp_ref,  # SMEM f32 [6] law params
+        tp_ref,  # SMEM f32 [5] transform params
+        post_ref,  # [B, 3, N]
+        prev_ref, s0_ref,  # [3, N]
+        site_ref, last_ref, fsj_ref, wait_ref, jumps_ref, evc_ref,  # [TR,1] i32
+        u_ref,  # [TR,1] f32
+        corr_ref,  # [TR, 3] f32 (lane-padded, fine: 3 lanes)
+        a_ref,  # [TR, 3] f32 disp_base
+        # outputs
+        site_out, last_out, fsj_out, wait_out, jumps_out, evc_out,
+        u_out, corr_out, a_out, s_out, prev_out,
+        # scratch
+        s_scr, prev_scr, d_scr, topd_scr, topi_scr, resc_scr,
+        phase_scr, done_scr,
+    ):
+        box = [box_ref[0], box_ref[1], box_ref[2]]
+        frame0 = ints_ref[0]
+        tile_id = pl.program_id(0) + ints_ref[1]
+        lp = [lp_ref[i] for i in range(6)]
+        tp = [tp_ref[i] for i in range(5)]
+
+        site_out[:] = site_ref[:]
+        last_out[:] = last_ref[:]
+        fsj_out[:] = fsj_ref[:]
+        wait_out[:] = wait_ref[:]
+        jumps_out[:] = jumps_ref[:]
+        evc_out[:] = evc_ref[:]
+        u_out[:] = u_ref[:]
+        corr_out[:] = corr_ref[:]
+        a_out[:] = a_ref[:]
+        s_scr[:] = s0_ref[:]
+        prev_scr[:] = prev_ref[:]
+
+        iota_n = jax.lax.broadcasted_iota(jnp.int32, (TR, N), 1)
+        iota_k = jax.lax.broadcasted_iota(jnp.int32, (TR, KL), 1)
+        lane_nn = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+
+        def minimg1(delta, length):
+            return delta - length * jnp.round(delta / length)
+
+        def oh_dot(oh, table):
+            # [TR, N] one-hot @ [N, KL or 3] table -> gathered rows
+            return jax.lax.dot_general(
+                oh, table, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        def candidates(site, last, fsj, wait):
+            """(rates [TR, KL], cand_i [TR, KL] f32) for the current states."""
+            oh_site = (iota_n == site).astype(f32)  # site [TR,1]
+            cand_d = oh_dot(oh_site, topd_scr[:])  # [TR, KL]
+            cand_r = oh_dot(oh_site, resc_scr[:])
+            cand_i = oh_dot(oh_site, topi_scr[:])
+
+            if relax > 0:
+                factor = jnp.minimum(fsj.astype(f32) / f32(relax), 1.0)
+                d_eff = cand_d + factor * (cand_r - cand_d)
+            else:
+                d_eff = cand_r
+
+            if keep_last:
+                is_last = jnp.logical_and(
+                    cand_i == last.astype(f32), last >= 0
+                )  # [TR, KL]
+                d_eff = jnp.where(is_last, cand_r, d_eff)
+                if K == 4:
+                    # old neighbor in slot 3 -> promote to slot 2
+                    in3 = jnp.sum(
+                        jnp.where(iota_k == 3, is_last.astype(f32), 0.0),
+                        axis=1, keepdims=True,
+                    ) > 0
+                    v3 = jnp.sum(
+                        jnp.where(iota_k == 3, d_eff, 0.0), axis=1, keepdims=True
+                    )
+                    i3 = jnp.sum(
+                        jnp.where(iota_k == 3, cand_i, 0.0), axis=1, keepdims=True
+                    )
+                    slot2 = iota_k == 2
+                    d_eff = jnp.where(jnp.logical_and(slot2, in3), v3, d_eff)
+                    cand_i = jnp.where(jnp.logical_and(slot2, in3), i3, cand_i)
+
+            rates = _apply_law(kind, d_eff, lp)
+            rates = jnp.where(iota_k < 3, rates, 0.0)  # only first 3 candidates
+            rates = jnp.where(wait > 0, 0.0, rates)
+            return rates, cand_i
+
+        def ev_iter(post, frame_idx, frame_time, ev):
+            site = site_out[:]
+            last = last_out[:]
+            fsj = fsj_out[:]
+            wait = wait_out[:]
+            rates, cand_i = candidates(site, last, fsj, wait)
+            total = jnp.sum(rates, axis=1, keepdims=True)
+
+            phase = phase_scr[:]
+            done = done_scr[:]
+            u = u_out[:]
+            budget = total * (f32(dt) - phase)
+            fire = jnp.logical_and(jnp.logical_not(done), u <= budget)
+            fire = jnp.logical_and(fire, budget > 0)
+            safe_total = jnp.where(total > 0, total, 1.0)
+            eph = phase + u / safe_total
+
+            key2 = _mix_key(seed, tile_id, frame_idx, ev, 12)
+            u2 = _u01(key2, (TR, 1)) * total
+            cum = jnp.cumsum(jnp.where(iota_k < 3, rates, 0.0), axis=1)
+            pick = jnp.sum((cum < u2).astype(jnp.int32), axis=1, keepdims=True)
+            pick = jnp.minimum(pick, 2)
+            dst_f = jnp.sum(
+                jnp.where(iota_k == pick, cand_i, 0.0), axis=1, keepdims=True
+            )
+            dst = jnp.round(dst_f).astype(jnp.int32)
+
+            firef = fire.astype(f32)
+            oh_old = (iota_n == site).astype(f32)
+            oh_new = (iota_n == dst).astype(f32)
+            # [TR, 3] position/prefix gathers via one MXU dot each
+            post_t = jnp.transpose(post)  # [N, 3]
+            s_t = jnp.transpose(s_scr[:])  # [N, 3]
+            p_old = oh_dot(oh_old, post_t)
+            p_new = oh_dot(oh_new, post_t)
+            s_old = oh_dot(oh_old, s_t)
+            s_new = oh_dot(oh_new, s_t)
+            jump = jnp.stack([
+                minimg1(p_new[:, i] - p_old[:, i], box[i]) for i in range(3)
+            ], axis=1)  # [TR, 3]
+
+            a_out[:] = a_out[:] + firef * (s_old - s_new + jump)
+            if d_oh != 0.0:
+                norm2 = jnp.sum(jump * jump, axis=1, keepdims=True)
+                inv = jax.lax.rsqrt(jnp.maximum(norm2, 1e-12))
+                corr_out[:] = corr_out[:] + firef * (2.0 * f32(d_oh)) * jump * inv
+
+            last_out[:] = jnp.where(fire, site, last)
+            site_out[:] = jnp.where(fire, dst, site)
+            fsj_out[:] = jnp.where(fire, 0, fsj)
+            wait_out[:] = jnp.where(fire, jnp.int32(waiting), wait)
+            jumps_out[:] = jumps_out[:] + fire.astype(jnp.int32)
+            evc_out[:] = evc_out[:] + fire.astype(jnp.int32)
+
+            key3 = _mix_key(seed, tile_id, frame_idx, ev, 13)
+            fresh_u = -jnp.log(_u01(key3, (TR, 1)))
+            u_out[:] = jnp.where(fire, fresh_u, u)
+            phase_scr[:] = jnp.where(fire, eph, phase)
+            done_scr[:] = jnp.logical_or(done, jnp.logical_not(fire))
+
+        def frame_body(f, _):
+            post = post_ref[f]  # [3, N]
+
+            for dim in range(3):
+                d = minimg1(
+                    post[dim : dim + 1, :] - prev_scr[dim : dim + 1, :], box[dim]
+                )
+                s_scr[dim : dim + 1, :] = s_scr[dim : dim + 1, :] + d
+            prev_scr[:] = post
+
+            # distance matrix (rows = sites, lanes = neighbors)
+            RB = min(N, 256 if N <= 512 else 128)
+            for r0 in range(0, N, RB):
+                rb = min(RB, N - r0)
+                acc = jnp.zeros((rb, N), f32)
+                for dim in range(3):
+                    rowvals = jnp.transpose(post[dim : dim + 1, r0 : r0 + rb])
+                    dd = minimg1(rowvals - post[dim : dim + 1, :], box[dim])
+                    acc += dd * dd
+                ii = jax.lax.broadcasted_iota(jnp.int32, (rb, N), 0) + r0
+                jj = jax.lax.broadcasted_iota(jnp.int32, (rb, N), 1)
+                d_scr[r0 : r0 + rb, :] = jnp.where(
+                    ii == jj, _BIG, jnp.sqrt(acc)
+                )
+
+            # iterative top-K nearest neighbors per site
+            for kk in range(K):
+                vals = jnp.min(d_scr[:], axis=1, keepdims=True)  # [N, 1]
+                idx = jnp.argmin(d_scr[:], axis=1)[:, None]  # [N, 1]
+                col = jax.lax.broadcasted_iota(jnp.int32, (N, KL), 1) == kk
+                topd_scr[:] = jnp.where(col, vals, topd_scr[:])
+                topi_scr[:] = jnp.where(col, idx.astype(f32), topi_scr[:])
+                d_scr[:] = jnp.where(lane_nn == idx, _BIG, d_scr[:])
+            resc_scr[:] = _apply_transform(tkind, topd_scr[:], tp)
+
+            frame_idx = frame0 + f
+            frame_time = frame_idx.astype(f32) * f32(dt)
+            phase_scr[:] = jnp.zeros((TR, 1), f32)
+            done_scr[:] = jnp.zeros((TR, 1), jnp.bool_)
+
+            ev_iter(post, frame_idx, frame_time, 0)
+            for ev in range(1, max_events):
+                any_live = jnp.sum(
+                    jnp.logical_not(done_scr[:]).astype(jnp.int32)
+                ) > 0
+
+                @pl.when(any_live)
+                def _(ev=ev):
+                    ev_iter(post, frame_idx, frame_time, ev)
+
+            # leftover integrated rate
+            rates, _ = candidates(site_out[:], last_out[:], fsj_out[:], wait_out[:])
+            total = jnp.sum(rates, axis=1, keepdims=True)
+            u_out[:] = u_out[:] - total * (f32(dt) - phase_scr[:])
+
+            # per-frame counters (match models/water.py order)
+            fsj_out[:] = fsj_out[:] + 1
+            wait_out[:] = jnp.maximum(wait_out[:] - 1, 0)
+            return 0
+
+        jax.lax.fori_loop(0, B, frame_body, 0)
+
+        @pl.when(pl.program_id(0) == 0)  # first tile of this shard writes shared
+        def _():
+            s_out[:] = s_scr[:]
+            prev_out[:] = prev_scr[:]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "kind", "tkind", "k_atoms", "tile", "max_events", "dt", "seed",
+        "relax", "waiting", "keep_last", "d_oh", "interpret",
+    ),
+)
+def water_sweep(
+    positions,  # [B, N, 3]
+    prev_pos, site_disp,  # [N, 3]
+    site, last_site, fsj, wait, jumps, evc,  # [R] i32
+    u_rem,  # [R] f32
+    corr, disp_base,  # [R, 3] f32
+    law_params,  # [6]
+    transform_params,  # [5]
+    frame0, box_lengths, tile_offset,
+    *,
+    kind: int, tkind: int, k_atoms: int, tile: int, max_events: int,
+    dt: float, seed: int, relax: int, waiting: int, keep_last: bool,
+    d_oh: float, interpret: bool = False,
+):
+    B, N, _ = positions.shape
+    R = site.shape[0]
+    TR = tile
+    assert R % TR == 0
+    grid = (R // TR,)
+    KL = 8
+
+    kernel = _make_kernel(
+        n_sites=N, tile=TR, block=B, k_atoms=k_atoms, kind=kind, tkind=tkind,
+        dt=dt, seed=seed, relax=relax, waiting=waiting, keep_last=keep_last,
+        d_oh=d_oh, max_events=max_events,
+    )
+
+    box = jnp.concatenate([
+        jnp.asarray(box_lengths, jnp.float32).reshape(3), jnp.zeros(1, jnp.float32)
+    ])
+    ints = jnp.stack([
+        jnp.asarray(frame0, jnp.int32), jnp.asarray(tile_offset, jnp.int32)
+    ])
+    post = jnp.swapaxes(jnp.asarray(positions, jnp.float32), 1, 2)
+
+    def rep(*shape):
+        return pl.BlockSpec(
+            (TR, *shape), lambda r: (r,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    i1 = lambda x: x.reshape(R, 1).astype(jnp.int32)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((R, 1), jnp.int32),  # site
+        jax.ShapeDtypeStruct((R, 1), jnp.int32),  # last
+        jax.ShapeDtypeStruct((R, 1), jnp.int32),  # fsj
+        jax.ShapeDtypeStruct((R, 1), jnp.int32),  # wait
+        jax.ShapeDtypeStruct((R, 1), jnp.int32),  # jumps
+        jax.ShapeDtypeStruct((R, 1), jnp.int32),  # evc
+        jax.ShapeDtypeStruct((R, 1), jnp.float32),  # u
+        jax.ShapeDtypeStruct((R, 3), jnp.float32),  # corr
+        jax.ShapeDtypeStruct((R, 3), jnp.float32),  # disp_base
+        jax.ShapeDtypeStruct((3, N), jnp.float32),  # site_disp
+        jax.ShapeDtypeStruct((3, N), jnp.float32),  # prev
+    )
+    out_specs = (
+        rep(1), rep(1), rep(1), rep(1), rep(1), rep(1), rep(1),
+        rep(3), rep(3), full(), full(),
+    )
+
+    res = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            smem(), smem(), smem(), smem(),
+            full(), full(), full(),
+            rep(1), rep(1), rep(1), rep(1), rep(1), rep(1), rep(1),
+            rep(3), rep(3),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((3, N), jnp.float32),  # s_scr
+            pltpu.VMEM((3, N), jnp.float32),  # prev_scr
+            pltpu.VMEM((N, N), jnp.float32),  # d_scr
+            pltpu.VMEM((N, KL), jnp.float32),  # topd
+            pltpu.VMEM((N, KL), jnp.float32),  # topi
+            pltpu.VMEM((N, KL), jnp.float32),  # resc
+            pltpu.VMEM((TR, 1), jnp.float32),  # phase
+            pltpu.VMEM((TR, 1), jnp.bool_),  # done
+        ],
+        interpret=pltpu.InterpretParams() if interpret else False,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        input_output_aliases={
+            7: 0, 8: 1, 9: 2, 10: 3, 11: 4, 12: 5, 13: 6, 14: 7, 15: 8,
+            6: 9, 5: 10,
+        },
+    )(
+        box, ints,
+        jnp.asarray(law_params, jnp.float32),
+        jnp.asarray(transform_params, jnp.float32),
+        post,
+        jnp.asarray(prev_pos, jnp.float32).T,
+        jnp.asarray(site_disp, jnp.float32).T,
+        i1(site), i1(last_site), i1(fsj), i1(wait), i1(jumps), i1(evc),
+        u_rem.reshape(R, 1).astype(jnp.float32),
+        jnp.asarray(corr, jnp.float32), jnp.asarray(disp_base, jnp.float32),
+    )
+    (site2, last2, fsj2, wait2, jumps2, evc2, u2, corr2, a2, s2, prev2) = res
+    flat = lambda x: x.reshape(R)
+    return (
+        flat(site2), flat(last2), flat(fsj2), flat(wait2), flat(jumps2),
+        flat(evc2), u2.reshape(R), corr2, a2, s2.T, prev2.T,
+    )
