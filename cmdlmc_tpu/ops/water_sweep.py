@@ -165,8 +165,11 @@ def _make_kernel(*, n_sites, tile, block, k_atoms, kind, tkind, dt, seed,
 
             key2 = _mix_key(seed, tile_id, frame_idx, ev, 12)
             u2 = _u01(key2, (TR, 1)) * total
-            cum = jnp.cumsum(jnp.where(iota_k < 3, rates, 0.0), axis=1)
-            pick = jnp.sum((cum < u2).astype(jnp.int32), axis=1, keepdims=True)
+            # 3-way inverse CDF without cumsum (not lowerable in Mosaic):
+            # lane sums r0, r0+r1 as masked reductions
+            r0 = jnp.sum(jnp.where(iota_k == 0, rates, 0.0), axis=1, keepdims=True)
+            r1 = jnp.sum(jnp.where(iota_k == 1, rates, 0.0), axis=1, keepdims=True)
+            pick = (u2 >= r0).astype(jnp.int32) + (u2 >= r0 + r1).astype(jnp.int32)
             pick = jnp.minimum(pick, 2)
             dst_f = jnp.sum(
                 jnp.where(iota_k == pick, cand_i, 0.0), axis=1, keepdims=True
