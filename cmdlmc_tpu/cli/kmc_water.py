@@ -90,6 +90,10 @@ def kmc_water_main(settings, out=None):
     keys = None
     start_time = _time.time()
     printed_header = False
+    use_fused = (
+        jax.default_backend() == "tpu" and wm.water_fused_supported(model)
+    )
+    site_disp = prev_pos = None
 
     for block in prefetch(
         frame_blocks(traj, block_size=512, donor_atoms="O",
@@ -103,11 +107,27 @@ def kmc_water_main(settings, out=None):
                 positions[0], start_position=settings.start_position,
             )
             keys = jax.random.split(jax.random.fold_in(key, 1), settings.replicas)
-        idx = jnp.arange(block.start, block.start + block.n_frames, dtype=jnp.int32)
-        states, sites, msd = wm.run_water_block(
-            model, states, keys, positions, idx, dt=dt
-        )
-        sites_np = np.asarray(jax.device_get(sites))  # [B, R]
+            site_disp = jnp.zeros((n_sites, 3), jnp.float32)
+            prev_pos = positions[0]
+        if use_fused:
+            states, site_disp, prev_pos = wm.run_water_block_fused(
+                model, states, positions, block.start,
+                site_disp=site_disp, prev_pos=prev_pos, dt=dt,
+                seed=settings.seed,
+            )
+            # per-frame site trace unavailable on the fused path; report the
+            # block-end state at each print frame within the block
+            sites_np = np.broadcast_to(
+                np.asarray(states.site)[None, :], (block.n_frames, settings.replicas)
+            )
+        else:
+            idx = jnp.arange(
+                block.start, block.start + block.n_frames, dtype=jnp.int32
+            )
+            states, sites, msd = wm.run_water_block(
+                model, states, keys, positions, idx, dt=dt
+            )
+            sites_np = np.asarray(jax.device_get(sites))  # [B, R]
         jumps0 = int(np.asarray(states.jumps)[0])
         corr0 = np.asarray(states.correction)[0]
         donors_np = np.asarray(block.donors)
