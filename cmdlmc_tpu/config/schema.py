@@ -164,6 +164,7 @@ class OutputSection:
     print_frequency: int = 1
     particle_type: str = "H"
     variance: bool = False  # also print across-replica variance columns
+    replica_dump: Optional[str] = None  # npz path for per-replica observables
 
 
 @dataclasses.dataclass

@@ -512,6 +512,19 @@ class Simulation:
                 f"# jump matrix saved to {cfg.engine.jumpmatrix_filename}",
                 file=out,
             )
+        if cfg.output.replica_dump and self.final_states is not None:
+            rep = self.final_states.replicas
+            msd, autocorr = eng.observables_of(rep, self.final_states.site_disp)
+            np.savez_compressed(
+                cfg.output.replica_dump,
+                msd=np.asarray(msd),
+                autocorrelation=np.asarray(autocorr),
+                jumps=np.asarray(rep.jumps),
+                event_count=np.asarray(rep.clock.event_count),
+                site_of_proton=np.asarray(rep.site_of_proton),
+            )
+            print(f"# per-replica observables saved to {cfg.output.replica_dump}",
+                  file=out)
         if self._max_truncation > 0:
             print(
                 f"# WARNING: up to {100 * self._max_truncation:.2f}% of replicas "
