@@ -79,3 +79,19 @@ def test_resume_is_bit_exact(tmp_path):
 
     assert full[: len(part1)] == part1
     assert part2 == full[len(part1):]
+
+
+def test_replica_dump(tmp_path):
+    import numpy as np
+
+    traj = make_traj(tmp_path, n_frames=40)
+    dump = tmp_path / "replicas.npz"
+    cfg = config(traj, 40, tmp_path / "c.npz").replace(
+        "print_frequency = 10",
+        f"print_frequency = 10\nreplica_dump = {dump}",
+    )
+    run(cfg)
+    z = np.load(dump)
+    assert z["msd"].shape == (4, 3)
+    assert z["event_count"].shape == (4,)
+    assert z["site_of_proton"].shape == (4, 4)
