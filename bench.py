@@ -23,7 +23,7 @@ NORTH_STAR = 1.0e9
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--replicas", type=int, default=4096)
+    parser.add_argument("--replicas", type=int, default=16384)
     parser.add_argument("--sites", type=int, default=144)
     parser.add_argument("--protons", type=int, default=96)
     parser.add_argument("--block-frames", type=int, default=256)

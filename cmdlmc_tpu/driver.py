@@ -176,6 +176,15 @@ class Simulation:
     :meth:`run` to print reference-format output."""
 
     def __init__(self, cfg: SimulationConfig):
+        if cfg.kmc.proton_number > cfg.kmc.lattice_size:
+            raise ValueError(
+                f"proton_number ({cfg.kmc.proton_number}) cannot exceed "
+                f"lattice_size ({cfg.kmc.lattice_size})"
+            )
+        if cfg.kmc.proton_number < 1:
+            raise ValueError("proton_number must be >= 1")
+        if cfg.engine.replicas < 1:
+            raise ValueError("[Engine] replicas must be >= 1")
         self.cfg = cfg
         self.cell = build_cell(cfg)
         self.law = build_law(cfg)

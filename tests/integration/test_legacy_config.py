@@ -82,3 +82,16 @@ def test_legacy_run_with_equilibration(traj):
     msd20 = sum(float(x) for x in rows[0][2:5])
     msd50 = sum(float(x) for x in rows[-1][2:5])
     assert msd50 >= msd20
+
+
+def test_invalid_proton_number_raises(traj):
+    import pytest
+
+    from cmdlmc_tpu.config.legacy import load_legacy_config
+
+    text = LEGACY_CONFIG.format(fname=traj).replace(
+        "proton_number 4", "proton_number 40"
+    )
+    cfg = load_legacy_config(io.StringIO(text))
+    with pytest.raises(ValueError, match="cannot exceed"):
+        Simulation(cfg)
