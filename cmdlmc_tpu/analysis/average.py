@@ -61,10 +61,22 @@ def load_intervals(filename_or_lines, verbose=False):
     else:
         lines = list(filename_or_lines)
 
-    rows = [l.split() for l in lines if l.strip() and not l.startswith("#")]
-    data = np.array(rows, dtype=float)
-    if data.ndim != 2:
+    # tolerate contaminated captures (stderr log lines, partial rows): keep
+    # only rows that parse as floats with the majority column count
+    rows = []
+    for l in lines:
+        if not l.strip() or l.startswith("#"):
+            continue
+        try:
+            rows.append([float(x) for x in l.split()])
+        except ValueError:
+            continue
+    if not rows:
         raise ValueError("No data rows found")
+    from collections import Counter
+
+    ncols = Counter(len(r) for r in rows).most_common(1)[0][0]
+    data = np.array([r for r in rows if len(r) == ncols], dtype=float)
 
     result = _settings_from_comments(lines)
     if result is None:
