@@ -186,6 +186,19 @@ def main(argv=None):
     p_boot.add_argument("--n-boot", type=int, default=200)
     p_boot.add_argument("--output_unit", "-u", default="angstrom**2/ps")
 
+    p_cond = sub.add_parser(
+        "conductivity",
+        help="Nernst-Einstein conductivity from the MSD slope "
+             "(sigma = n q^2 D / kB T)",
+    )
+    p_cond.add_argument("file")
+    p_cond.add_argument("--carriers", type=float, required=True,
+                        help="Number of charge carriers in the box")
+    p_cond.add_argument("--volume", type=float, required=True,
+                        help="Box volume in angstrom^3")
+    p_cond.add_argument("--temperature", "-T", type=float, default=300.0)
+    p_cond.add_argument("--msd-fitstart", "-s", type=int, default=0)
+
     args = parser.parse_args(argv)
     data = load_intervals(args.file, verbose=args.verbose)
 
@@ -219,6 +232,20 @@ def main(argv=None):
             print(f"({m} ± {m_err}) {args.output_unit}")
             print("Diffusion coefficient:")
             print(f"({d} ± {d_err}) {args.output_unit}")
+    elif args.cmd == "conductivity":
+        from cmdlmc_tpu.analysis.units import nernst_einstein_conductivity
+
+        _, _, d, d_err = fit_slope(
+            data, fit_startpoint=args.msd_fitstart,
+            length_unit=args.length_unit, time_unit=args.time_unit,
+            output_unit="cm**2/s",
+        )
+        n_per_cm3 = args.carriers / (args.volume * 1e-24)
+        sigma = nernst_einstein_conductivity(d, n_per_cm3, args.temperature)
+        sigma_err = nernst_einstein_conductivity(d_err, n_per_cm3, args.temperature)
+        print(f"D = ({d:.6g} ± {d_err:.2g}) cm**2/s")
+        print(f"n = {n_per_cm3:.6g} carriers/cm**3, T = {args.temperature} K")
+        print(f"sigma = ({sigma:.6g} ± {abs(sigma_err):.2g}) S/cm")
     else:
         m, m_err = bootstrap_slope(
             data,

@@ -24,6 +24,10 @@ def main(argv=None):
     parser.add_argument("--range", nargs=2, type=float, default=(2.0, 3.0),
                         metavar=("MIN", "MAX"))
     parser.add_argument("--platform", default=None)
+    parser.add_argument(
+        "--fit", action="store_true",
+        help="Fit a Fermi law a/(1+exp((d-b)/c)) to the measured omega(d)",
+    )
     args = parser.parse_args(argv)
 
     if args.platform:
@@ -58,6 +62,32 @@ def main(argv=None):
             f"{centers[i]:10.4f} {int(jumps[i]):10d} {opp[i]:12.1f} "
             f"{p:12.6g} {p / dt:12.6g}"
         )
+
+    if args.fit:
+        from scipy.optimize import curve_fit
+
+        mask = (opp > 0) & (jumps > 0)
+        if mask.sum() >= 3:
+            omega = jumps[mask] / opp[mask] / dt
+            sigma = np.sqrt(jumps[mask]) / opp[mask] / dt  # Poisson errors
+
+            def fermi(d, a, b, c):
+                return a / (1.0 + np.exp((d - b) / c))
+
+            p0 = (omega.max(), float(centers[mask].mean()), 0.1)
+            try:
+                popt, pcov = curve_fit(
+                    fermi, centers[mask], omega, p0=p0, sigma=sigma,
+                    absolute_sigma=True, maxfev=10000,
+                )
+                perr = np.sqrt(np.diag(pcov))
+                print("# Fermi fit omega(d) = a / (1 + exp((d - b)/c)):")
+                for name, v, e in zip("abc", popt, perr):
+                    print(f"#   {name} = {v:.6g} +- {e:.2g}")
+            except RuntimeError as exc:
+                print(f"# Fermi fit failed: {exc}")
+        else:
+            print("# Fermi fit skipped: not enough populated bins")
 
 
 if __name__ == "__main__":

@@ -109,3 +109,26 @@ def test_cli_slope_runs(tmp_path, capsys):
     main(["slope", str(out_file), "--minimal", "-u", "angstrom**2/fs"])
     captured = capsys.readouterr().out.split()
     assert float(captured[0]) == pytest.approx(0.02, rel=1e-3)
+
+
+def test_cli_conductivity_runs(tmp_path, capsys):
+    from cmdlmc_tpu.analysis.average import main
+
+    out_file = tmp_path / "kmc.out"
+    out_file.write_text("".join(synth_output(slope=0.12)))
+    main([
+        "conductivity", str(out_file), "--carriers", "96",
+        "--volume", "3000", "-T", "500",
+    ])
+    captured = capsys.readouterr().out
+    assert "sigma" in captured and "S/cm" in captured
+
+
+def test_load_intervals_tolerates_noise_lines():
+    from cmdlmc_tpu.analysis.average import load_intervals
+
+    lines = synth_output()
+    lines.insert(5, "WARNING: some stderr contamination\n")
+    lines.insert(9, "1 2 3\n")  # wrong column count
+    data = load_intervals(lines)
+    assert data.shape == (5, 20, 7)
