@@ -94,6 +94,8 @@ def kmc_water_main(settings, out=None):
         jax.default_backend() == "tpu" and wm.water_fused_supported(model)
     )
     site_disp = prev_pos = None
+    trunc_total = None  # device scalar, fetched once at the end
+    frames_total = 0
 
     for block in prefetch(
         frame_blocks(traj, block_size=512, donor_atoms="O",
@@ -110,10 +112,13 @@ def kmc_water_main(settings, out=None):
             site_disp = jnp.zeros((n_sites, 3), jnp.float32)
             prev_pos = positions[0]
         if use_fused:
-            states, site_disp, prev_pos = wm.run_water_block_fused(
+            states, site_disp, prev_pos, trunc = wm.run_water_block_fused(
                 model, states, positions, block.start,
                 site_disp=site_disp, prev_pos=prev_pos, dt=dt,
-                seed=settings.seed,
+                seed=settings.seed, return_truncation=True,
+            )
+            trunc_total = trunc.sum() if trunc_total is None else (
+                trunc_total + trunc.sum()
             )
             # per-frame site trace unavailable on the fused path; report the
             # block-end state at each print frame within the block
@@ -128,6 +133,7 @@ def kmc_water_main(settings, out=None):
                 model, states, keys, positions, idx, dt=dt
             )
             sites_np = np.asarray(jax.device_get(sites))  # [B, R]
+        frames_total += block.n_frames
         jumps0 = int(np.asarray(states.jumps)[0])
         corr0 = np.asarray(states.correction)[0]
         donors_np = np.asarray(block.donors)
@@ -163,6 +169,17 @@ def kmc_water_main(settings, out=None):
                     file=out,
                     flush=True,
                 )
+
+    if trunc_total is not None and frames_total:
+        frac = float(np.asarray(trunc_total)) / (
+            settings.replicas * frames_total
+        )
+        if frac > 0:
+            print(
+                f"# WARNING: {100 * frac:.2f}% of replica-frames exhausted the "
+                "per-frame event budget — raise max_events",
+                file=out,
+            )
 
 
 def main(argv=None):

@@ -75,7 +75,9 @@ CONFIG_SCHEMAS: dict[str, list] = {
         ("equilibration_sweeps", parse_int, 0, "Discarded sweeps before output."),
         ("reset_freq", parse_int, 0, "Reset observables every n frames."),
         ("proton_number", parse_int, NO_DEFAULT, "Number of protons on the lattice."),
-        ("lattice_size", parse_int, NO_DEFAULT, "Number of donor sites."),
+        ("lattice_size", parse_int, None,
+         "Number of donor sites (extension; derived from the trajectory donor "
+         "count if unset, like the reference)."),
         ("box_multiplier", parse_ints, [1, 1, 1],
          "Extend the LMC box along one or more dimensions."),
         ("donor_atoms", parse_string, "O", "Donor/acceptor atom type."),
@@ -91,11 +93,44 @@ CONFIG_SCHEMAS: dict[str, list] = {
          "Cutoff + buffer used when building the topology."),
         ("angle_threshold", parse_float, 0.0,
          "Minimum P-O-O angle (radians); 0 disables angle gating."),
+        ("angle_dependency", parse_bool, True,
+         "If False, ignore angle_threshold (no angle gating) even when an "
+         "angle threshold is set (config_parser.py:463-468)."),
+        ("o_neighbor", parse_string, "P",
+         "Name of the heavy atoms the donor oxygens are bonded to, for "
+         "angle-dependent jump rates (config_parser.py:175-181)."),
         ("jumpmatrix_filename", parse_string, None,
          "If given, save the pairwise jump-count matrix here."),
-        ("higher_msd", parse_bool, False, "Also compute msd^4 (reserved)."),
+        ("higher_msd", parse_bool, False,
+         "Also print the 4th displacement moment column."),
         ("variance_per_proton", parse_bool, False,
          "Print across-replica variance columns."),
+        ("skip_frames", parse_int, 0,
+         "Frames to skip between topology updates: every (skip_frames+1)-th "
+         "trajectory frame is used, and each used frame covers the full "
+         "physical interval (config_parser.py:196-202)."),
+        ("clip_trajectory", parse_int, None,
+         "Use only the first n trajectory frames; if sweeps exceeds it, the "
+         "clipped trajectory is looped (config_parser.py:237-243)."),
+        ("shuffle", parse_bool, False,
+         "Choose trajectory frames uniformly at random (seeded); requires an "
+         "HDF5 trajectory (config_parser.py:275-281)."),
+        ("periodic_wrap", parse_bool, False,
+         "Wrap xyz-output positions into the periodic box "
+         "(config_parser.py:294-299)."),
+        ("neighbor_list", parse_bool, False,
+         "Use a K-nearest neighbor list instead of the dense pair-rate matrix "
+         "(the reference's Verlet-list option, topology.py:80-114); K is "
+         "chosen from neighbor_search_radius."),
+        ("output", parse_string, None,
+         "Write column output to this file instead of stdout."),
+        ("auxiliary_file", parse_string, None,
+         "Alternate name for the coordinate file; used when 'filename' is "
+         "absent. An .xyz file is converted to a compressed .hdf5 next to it "
+         "(config_parser.py:161-168)."),
+        ("hdf5", parse_bool, False,
+         "Convert an .xyz trajectory to compressed HDF5 once and stream from "
+         "that (recommended for large trajectories)."),
     ],
     "KMCWater": _COMMON + [
         ("relaxation_time", parse_int, 0,

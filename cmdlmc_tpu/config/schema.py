@@ -109,6 +109,9 @@ class TrajectorySection:
     selection: Any = _field(parse=_parse_selection, default=None)
     repeat: bool = False
     chunk_size: int = 1000
+    stride: int = 1  # use every stride-th frame (legacy skip_frames + 1)
+    clip: Optional[int] = None  # use only the first clip frames (clip_trajectory)
+    shuffle_seed: Optional[int] = None  # legacy shuffle mode (HDF5 only)
 
 
 @dataclasses.dataclass
@@ -131,6 +134,10 @@ class TopologySection:
     extra_atoms: Optional[str] = None
     group_size: int = 3
     neighbors: int = 4  # hydronium K (reference n_atoms, config_parser.py:540-546)
+    # K-nearest neighbor-list variant of NeighborTopology (the reference's
+    # Verlet-list option, topology.py:80-114): avoids the dense [N, N] rate
+    # matrix for large supercells. None = dense.
+    max_neighbors: Optional[int] = None
 
 
 @dataclasses.dataclass
@@ -149,7 +156,7 @@ class JumpRateSection:
 @dataclasses.dataclass
 class KMCLatticeSection:
     __section__ = "KMCLattice"
-    lattice_size: int
+    lattice_size: Optional[int]  # None = derive from the trajectory donor count
     proton_number: int
     donor_atoms: str = "O"
     time_step: Optional[float] = None  # falls back to trajectory time_step
@@ -165,6 +172,9 @@ class OutputSection:
     particle_type: str = "H"
     variance: bool = False  # also print across-replica variance columns
     replica_dump: Optional[str] = None  # npz path for per-replica observables
+    periodic_wrap: bool = False  # wrap xyz-output positions into the box
+    higher_msd: bool = False  # also print the 4th displacement moment column
+    filename: Optional[str] = None  # write output here instead of stdout
 
 
 @dataclasses.dataclass

@@ -123,6 +123,18 @@ def minimum_image(cell: Cell, dvec: Array) -> Array:
     return jnp.take_along_axis(candidates, best[..., None, None], axis=-2).squeeze(-2)
 
 
+def wrap_positions(cell: Cell, pos: Array) -> Array:
+    """Wrap absolute positions into the home cell [0, L) per axis (fractional
+    coordinates in [0, 1) for triclinic cells) — the legacy ``periodic_wrap``
+    output option (IO/config_parser.py:294-299)."""
+    if cell.orthorhombic:
+        lengths = jnp.diagonal(cell.h)
+        return pos - lengths * jnp.floor(pos / lengths)
+    frac = pos @ cell.h_inv.T
+    frac = frac - jnp.floor(frac)
+    return frac @ cell.h.T
+
+
 def displacement(cell: Cell, r1: Array, r2: Array) -> Array:
     """Minimum-image displacement r2 - r1 (the reference's ``AtomBox.distance``
     sign convention, PBCHelper.pyx:56-70 / numpyatom.pyx:33-42)."""

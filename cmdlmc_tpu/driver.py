@@ -39,12 +39,19 @@ logger = logging.getLogger(__name__)
 def build_trajectory(cfg: SimulationConfig):
     t = cfg.trajectory
     if t.type_ == "XYZTrajectory":
+        if t.shuffle_seed is not None:
+            raise ValueError(
+                "shuffle mode needs random frame access — convert the "
+                "trajectory to HDF5 with trajconv first"
+            )
         return XYZTrajectory(
             t.filename,
             time_step=t.time_step,
             number_of_atoms=t.number_of_atoms,
             selection=t.selection,
             repeat=t.repeat,
+            stride=t.stride,
+            clip=t.clip,
         )
     if t.type_ == "HDF5Trajectory":
         return HDF5Trajectory(
@@ -53,6 +60,9 @@ def build_trajectory(cfg: SimulationConfig):
             selection=t.selection,
             repeat=t.repeat,
             chunk_size=t.chunk_size,
+            stride=t.stride,
+            clip=t.clip,
+            shuffle_seed=t.shuffle_seed,
         )
     raise ValueError(f"Unknown trajectory type {t.type_!r}")
 
@@ -110,6 +120,11 @@ def build_model(cfg: SimulationConfig, cell: Cell, law, first_block):
     topo = cfg.topology
     f32 = jnp.float32
     if topo.type_ == "NeighborTopology":
+        if topo.max_neighbors:
+            return topo_models.TopKPairRates(
+                cell=cell, law=law, cutoff=f32(topo.cutoff),
+                buffer=f32(topo.buffer), k=topo.max_neighbors,
+            )
         return topo_models.PairRates(
             cell=cell, law=law, cutoff=f32(topo.cutoff), buffer=f32(topo.buffer)
         )
@@ -146,7 +161,8 @@ def build_model(cfg: SimulationConfig, cell: Cell, law, first_block):
 @jax.jit
 def _fused_obs_stats(states):
     """Device-side reduction of block-boundary observables into one vector:
-    [msd_mean(3), msd_var(3), autocorr_mean, autocorr_var, jumps_mean]."""
+    [msd_mean(3), msd_var(3), autocorr_mean, autocorr_var, jumps_mean,
+    msd4_mean]."""
     msd, autocorr = eng.observables_of(states.replicas, states.site_disp)
     autocorr = autocorr.astype(jnp.float32)
     return jnp.concatenate([
@@ -156,6 +172,7 @@ def _fused_obs_stats(states):
             autocorr.mean(),
             autocorr.var(),
             states.replicas.jumps.astype(jnp.float32).mean(),
+            eng.displacement_moment4(states.replicas, states.site_disp).mean(),
         ]),
     ])
 
@@ -169,6 +186,7 @@ class ObservableRecord:
     autocorr: float
     autocorr_var: float
     jumps: float
+    msd4: float = 0.0  # 4th displacement moment (higher_msd)
 
 
 class Simulation:
@@ -176,7 +194,10 @@ class Simulation:
     :meth:`run` to print reference-format output."""
 
     def __init__(self, cfg: SimulationConfig):
-        if cfg.kmc.proton_number > cfg.kmc.lattice_size:
+        if (
+            cfg.kmc.lattice_size is not None
+            and cfg.kmc.proton_number > cfg.kmc.lattice_size
+        ):
             raise ValueError(
                 f"proton_number ({cfg.kmc.proton_number}) cannot exceed "
                 f"lattice_size ({cfg.kmc.lattice_size})"
@@ -198,6 +219,7 @@ class Simulation:
         self.track_jump_matrix = bool(cfg.engine.jumpmatrix_filename)
         self.final_states = None
         self._max_truncation = 0.0
+        self._fused_trunc = None  # device scalar: mean truncated fraction
         # steady-state perf bookkeeping (first block carries backend init +
         # compile; exclude it from the sustained rate)
         self._steady_t0 = None
@@ -265,19 +287,39 @@ class Simulation:
             import os
 
             if os.path.exists(ckpt_path):
-                states, keys, resume_frame, _ = load_checkpoint(ckpt_path)
+                states, keys, resume_frame, meta = load_checkpoint(ckpt_path)
                 logger.info("Resuming from %s at frame %d", ckpt_path, resume_frame)
+                fp = meta.get("config_fingerprint")
+                if fp is not None and bytes(fp).decode() != config_fingerprint(cfg):
+                    raise ValueError(
+                        f"Checkpoint {ckpt_path} was written by a run with "
+                        "different physics settings (trajectory/cell/rates/"
+                        "topology/seed/replicas); refusing to resume. Delete "
+                        "the checkpoint or restore the original config."
+                    )
+                # resuming exactly where we left off ensures a re-run of a
+                # completed simulation does not double-simulate the trajectory
+                last_frame_done = resume_frame
 
         use_fused = None
 
         for block in self._blocks():
-            if block.start + block.n_frames <= resume_frame:
+            block_end_idx = block.start + block.n_frames
+            if block_end_idx <= resume_frame:
                 continue  # already simulated before the checkpoint
+            if block.start < resume_frame:
+                raise ValueError(
+                    f"Checkpoint frame {resume_frame} falls inside the block "
+                    f"[{block.start}, {block_end_idx}) — the checkpoint was "
+                    "written with a different [Engine] block_size. Resume with "
+                    "the original block_size (checkpoints record it in their "
+                    "meta) or delete the checkpoint."
+                )
             frames = self._device_frames(block)
             if model is None:
                 model = build_model(cfg, self.cell, self.law, block)
                 n_sites = frames.donors.shape[1]
-                if n_sites != n_sites_expected:
+                if n_sites_expected is not None and n_sites != n_sites_expected:
                     logger.warning(
                         "lattice_size=%d but trajectory provides %d donor sites; "
                         "using %d",
@@ -299,27 +341,67 @@ class Simulation:
                     )
                 from cmdlmc_tpu.engine import fused as eng_fused
 
-                use_fused = cfg.engine.backend == "fused" or (
-                    cfg.engine.backend == "auto"
-                    and jax.default_backend() == "tpu"
-                    and eng_fused.fused_supported(model, self.cell, states)
-                )
+                if cfg.engine.backend == "fused":
+                    reason = eng_fused.fused_unsupported_reason(
+                        model, self.cell, states
+                    )
+                    if reason:
+                        raise ValueError(
+                            "backend = fused was requested but the fused "
+                            f"kernel cannot run this configuration ({reason}); "
+                            "use backend = auto or scan"
+                        )
+                    use_fused = True
+                else:
+                    use_fused = (
+                        cfg.engine.backend == "auto"
+                        and jax.default_backend() == "tpu"
+                        and eng_fused.fused_supported(model, self.cell, states)
+                    )
                 if use_fused:
                     logger.info("Using the fused Pallas sweep backend")
+                    if cfg.output.print_frequency < 8:
+                        logger.warning(
+                            "print_frequency=%d forces the fused backend into "
+                            "%d-frame kernel launches with a host fetch each — "
+                            "the scan backend may be faster at this cadence",
+                            cfg.output.print_frequency,
+                            cfg.output.print_frequency,
+                        )
             if use_fused:
                 from cmdlmc_tpu.engine import fused as eng_fused
 
-                states = eng_fused.run_block_fused(
-                    model,
-                    self.cell,
-                    states,
-                    frames.donors,
-                    block.start,
-                    dt=self.dt,
-                    max_events=cfg.engine.max_events_per_frame,
-                    seed=cfg.engine.seed,
-                )
-                states, fused_records = self._fused_post(states, block)
+                # Sub-chunk the block so every kernel launch ends exactly where
+                # the scan engine would print or reset: per-frame cadence
+                # parity with the reference (MDMC.py:198-208) instead of
+                # block-boundary-only observables.
+                fused_records = []
+                for sub_start, sub_end in self._fused_spans(
+                    block.start, block_end_idx
+                ):
+                    states, trunc = eng_fused.run_block_fused(
+                        model,
+                        self.cell,
+                        states,
+                        frames.donors[sub_start - block.start:
+                                      sub_end - block.start],
+                        sub_start,
+                        dt=self.dt,
+                        max_events=cfg.engine.max_events_per_frame,
+                        seed=cfg.engine.seed,
+                        return_truncation=True,
+                    )
+                    # accumulate on device; fetched once at end of run (each
+                    # host fetch costs a round trip on a tunneled backend)
+                    frac = trunc.sum() / (
+                        trunc.shape[0] * (sub_end - sub_start)
+                    )
+                    self._fused_trunc = (
+                        frac if self._fused_trunc is None
+                        else jnp.maximum(self._fused_trunc, frac)
+                    )
+                    states, recs = self._fused_post(states, sub_end)
+                    fused_records.extend(recs)
                 rows = None
             else:
                 states, rows = eng.run_block(
@@ -346,8 +428,8 @@ class Simulation:
                 and blocks_done % cfg.engine.checkpoint_interval == 0
             ):
                 save_checkpoint(
-                    ckpt_path, states, keys, block.start + block.n_frames,
-                    meta={"seed": cfg.engine.seed},
+                    ckpt_path, states, keys, block_end_idx,
+                    meta=self._ckpt_meta(),
                 )
             if self._steady_t0 is None:
                 import time as _t
@@ -370,54 +452,85 @@ class Simulation:
                             autocorr=float(rows.autocorr_mean[i]),
                             autocorr_var=float(rows.autocorr_var[i]),
                             jumps=float(rows.jumps_mean[i]),
+                            msd4=float(rows.msd4_mean[i]),
                         )
-            last_frame_done = block.start + block.n_frames
+            last_frame_done = block_end_idx
         self.final_states = states
-        if ckpt_path and states is not None:
+        if ckpt_path and states is not None and blocks_done > 0:
             save_checkpoint(
                 ckpt_path, states, keys, last_frame_done,
-                meta={"seed": cfg.engine.seed},
+                meta=self._ckpt_meta(),
             )
 
-    def _fused_post(self, states, block):
-        """Block-boundary observable snapshot + reset for the fused backend.
+    def _ckpt_meta(self) -> dict:
+        return {
+            "seed": self.cfg.engine.seed,
+            "block_size": self.cfg.engine.block_size,
+            "config_fingerprint": np.bytes_(
+                config_fingerprint(self.cfg).encode()
+            ),
+        }
 
-        The fused kernel advances dynamics without per-frame reductions, so
-        print/reset cadences are honored at block boundaries: configure
-        Engine.block_size to divide print_frequency (and reset_frequency)."""
+    def _fused_spans(self, start: int, end: int):
+        """Split [start, end) at every position b where the scan engine would
+        act after processing frame f = b - 1: print rows (f % print_freq == 0),
+        observable resets (f % reset_freq == 0, f > 0) and the one-time
+        equilibration reset (f == equilibration_sweeps)."""
         cfg = self.cfg
-        block_end = block.start + block.n_frames
+        bounds = set()
+        pf = cfg.output.print_frequency
+        rf = cfg.output.reset_frequency
+        eq = cfg.engine.equilibration_sweeps
+        first = start - (start % pf)  # first multiple of pf >= start - pf
+        for f in range(first, end, pf):
+            if start <= f < end:
+                bounds.add(f + 1)
+        if rf > 0:
+            firstr = start - (start % rf)
+            for f in range(firstr, end, rf):
+                if start <= f < end and f > 0:
+                    bounds.add(f + 1)
+        if eq > 0 and start <= eq < end:
+            bounds.add(eq + 1)
+        bounds.add(end)
+        bounds = sorted(b for b in bounds if start < b <= end)
+        prev = start
+        for b in bounds:
+            yield prev, b
+            prev = b
+
+    def _fused_post(self, states, boundary: int):
+        """Observable snapshot / reset at a sub-block boundary of the fused
+        backend. ``boundary`` is the index of the next unprocessed frame, so
+        the action frame is f = boundary - 1; reset-before-print ordering
+        matches the scan engine (and MDMC.py:198-208)."""
+        cfg = self.cfg
+        f = boundary - 1
+        rf = cfg.output.reset_frequency
+        eq = cfg.engine.equilibration_sweeps
+        do_reset = (rf > 0 and f % rf == 0 and f > 0) or (eq > 0 and f == eq)
+        if do_reset:
+            states = dataclasses.replace(
+                states,
+                replicas=eng._reset_states(states.replicas, states.site_disp),
+            )
         records = []
-        if (
-            block_end % cfg.output.print_frequency == 0
-            and block_end >= cfg.engine.equilibration_sweeps
-        ):
+        if f % cfg.output.print_frequency == 0 and f >= eq:
             # One bundled device->host fetch: on a tunneled/remote backend each
             # fetch costs a round trip, so the reductions happen on device and
             # come back as a single 9-vector.
             stats = np.asarray(_fused_obs_stats(states))
             records.append(
                 ObservableRecord(
-                    frame=block_end,
-                    time=block_end * self.dt,
+                    frame=f,
+                    time=f * self.dt,
                     msd=stats[0:3],
                     msd_var=stats[3:6],
                     autocorr=float(stats[6]),
                     autocorr_var=float(stats[7]),
                     jumps=float(stats[8]),
+                    msd4=float(stats[9]),
                 )
-            )
-        do_reset = (
-            cfg.output.reset_frequency > 0
-            and block_end % cfg.output.reset_frequency == 0
-        ) or (
-            cfg.engine.equilibration_sweeps > 0
-            and block_end == cfg.engine.equilibration_sweeps
-        )
-        if do_reset:
-            states = dataclasses.replace(
-                states,
-                replicas=eng._reset_states(states.replicas, states.site_disp),
             )
         return states, records
 
@@ -454,15 +567,22 @@ class Simulation:
                 dt=self.dt,
                 max_events=cfg.engine.max_events_per_frame,
                 reset_frequency=cfg.output.reset_frequency,
+                equilibration=cfg.engine.equilibration_sweeps,
             )
             donors_np = np.asarray(jax.device_get(frames.donors))
             sites_np = np.asarray(jax.device_get(sites))
             donor_name = cfg.topology.donor_atoms
             for i in range(block.n_frames):
+                if block.start + i < cfg.engine.equilibration_sweeps:
+                    continue
                 if (block.start + i) % cfg.output.print_frequency != 0:
                     continue
                 buf = _io.StringIO()
                 pos = donors_np[i]
+                if cfg.output.periodic_wrap:
+                    from cmdlmc_tpu.core.cell import wrap_positions
+
+                    pos = np.asarray(wrap_positions(self.cell, jnp.asarray(pos)))
                 proton_pos = pos[sites_np[i]]
                 names = [donor_name] * len(pos) + [cfg.output.particle_type] * len(
                     proton_pos
@@ -477,8 +597,21 @@ class Simulation:
     def run(self, out=None):
         import time as _time
 
-        out = out or sys.stdout
         cfg = self.cfg
+        close_out = False
+        if out is None:
+            if cfg.output.filename:
+                out = open(cfg.output.filename, "w")
+                close_out = True
+            else:
+                out = sys.stdout
+        try:
+            self._run(out, cfg, _time)
+        finally:
+            if close_out:
+                out.close()
+
+    def _run(self, out, cfg, _time):
         from cmdlmc_tpu.utils.version import version_lines
 
         for line in version_lines():
@@ -492,6 +625,8 @@ class Simulation:
                 print(row, file=out)
             return
         header = ["Sweeps", "Time", "MSD_x", "MSD_y", "MSD_z", "Autocorr", "Jumps"]
+        if cfg.output.higher_msd:
+            header += ["MSD4"]
         if cfg.output.variance:
             header += ["MSD_var_x", "MSD_var_y", "MSD_var_z", "Autocorr_var"]
         print("# " + " ".join(f"{h:>12}" for h in header), file=out)
@@ -506,6 +641,8 @@ class Simulation:
                 f"{r.autocorr:8.2f}",
                 f"{r.jumps:8.2f}",
             ]
+            if cfg.output.higher_msd:
+                cols += [f"{r.msd4:12.4f}"]
             if cfg.output.variance:
                 cols += [
                     f"{r.msd_var[0]:12.4f}",
@@ -534,6 +671,10 @@ class Simulation:
             )
             print(f"# per-replica observables saved to {cfg.output.replica_dump}",
                   file=out)
+        if self._fused_trunc is not None:
+            fused_trunc = float(np.asarray(self._fused_trunc))
+            if fused_trunc > self._max_truncation:
+                self._max_truncation = fused_trunc
         if self._max_truncation > 0:
             print(
                 f"# WARNING: up to {100 * self._max_truncation:.2f}% of replicas "
@@ -560,6 +701,26 @@ class Simulation:
                     "site-updates/s)"
                 )
             print(line, file=out)
+
+
+def config_fingerprint(cfg: SimulationConfig) -> str:
+    """Hash of the physics-relevant configuration — stored in checkpoints so a
+    resume under different physics (a different trajectory, rate law, seed,
+    replica count, ...) fails loudly instead of silently mixing streams.
+    Deliberately excludes execution knobs that may legitimately change across
+    resumes (block_size, backend, checkpoint cadence, output options)."""
+    import hashlib
+
+    e = cfg.engine
+    parts = [
+        repr(cfg.trajectory), repr(cfg.atombox), repr(cfg.topology),
+        repr(cfg.jumprate), repr(cfg.kmc), repr(cfg.transformation),
+        repr(cfg.interpolator),
+        f"replicas={e.replicas} seed={e.seed} "
+        f"max_events={e.max_events_per_frame} "
+        f"equilibration={e.equilibration_sweeps}",
+    ]
+    return hashlib.sha1("\n".join(parts).encode()).hexdigest()
 
 
 def config_echo(cfg: SimulationConfig) -> list[str]:

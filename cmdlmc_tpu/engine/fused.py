@@ -20,18 +20,24 @@ from cmdlmc_tpu.ops import kmc_sweep as ks
 from cmdlmc_tpu.topo.models import PairRates
 
 
-def fused_supported(model, cell: Cell, ens: EnsembleState) -> bool:
+def fused_unsupported_reason(model, cell: Cell, ens: EnsembleState) -> str | None:
+    """None if the fused kernel can run this configuration, else a human-readable
+    reason (the driver raises it when backend=fused is forced)."""
     if not isinstance(model, PairRates):
-        return False
+        return f"topology model {type(model).__name__} is not PairRates"
     if not cell.orthorhombic:
-        return False
+        return "triclinic cells need the general minimum image (scan backend)"
     if ks.law_kind(model.law) is None:
-        return False
+        return f"rate law {type(model.law).__name__} has no fused kernel"
     if ens.replicas.jump_hist.shape[-1] != 0:
-        return False
+        return "distance-resolved jump/exposure histograms (jumpstat)"
     if ens.replicas.jump_matrix.shape[-1] != 0:
-        return False
-    return True
+        return "pairwise jump matrix tracking"
+    return None
+
+
+def fused_supported(model, cell: Cell, ens: EnsembleState) -> bool:
+    return fused_unsupported_reason(model, cell, ens) is None
 
 
 def pick_tile(n_replicas: int, target: int = 128, n_sites: int = 0) -> int:
@@ -61,10 +67,13 @@ def run_block_fused(
     tile: int | None = None,
     interpret: bool | None = None,
     tile_offset=0,
+    return_truncation: bool = False,
 ) -> EnsembleState:
     """Advance all replicas across the block with the fused kernel. Returns the
     updated ensemble (no per-frame rows — the runner reads observables from
-    block-boundary states)."""
+    block-boundary states). With ``return_truncation`` also returns the
+    per-replica count of frames whose event budget was exhausted ('no silent
+    caps' telemetry, mirroring the scan engine's ObsRow.truncated_mean)."""
     rep = ens.replicas
     R = rep.occ.shape[0]
     if tile is None:
@@ -73,7 +82,7 @@ def run_block_fused(
         interpret = jax.default_backend() != "tpu"
 
     cutbuf = float(model.cutoff) + float(model.buffer)
-    (occ, labels, sites, tlast, disp_base, u, evc, s, prev) = ks.kmc_sweep(
+    (occ, labels, sites, tlast, disp_base, u, evc, s, prev, trunc) = ks.kmc_sweep(
         jnp.asarray(frames_positions, jnp.float32),
         ens.prev_pos,
         ens.site_disp,
@@ -112,7 +121,10 @@ def run_block_fused(
         clock=clock,
         jumps=rep.jumps + jumps_delta,
     )
-    return EnsembleState(replicas=replicas, site_disp=s, prev_pos=prev)
+    out = EnsembleState(replicas=replicas, site_disp=s, prev_pos=prev)
+    if return_truncation:
+        return out, trunc
+    return out
 
 
 def run_block_fused_sharded(
@@ -170,7 +182,7 @@ def run_block_fused_sharded(
             ),
         )
 
-    (occ, labels, sites, tlast, disp_base, u, evc, s, prev) = jax.shard_map(
+    (occ, labels, sites, tlast, disp_base, u, evc, s, prev, _trunc) = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(
@@ -179,7 +191,7 @@ def run_block_fused_sharded(
         ),
         out_specs=(
             P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-            P(), P(),
+            P(), P(), P(axis),
         ),
         check_vma=False,
     )(

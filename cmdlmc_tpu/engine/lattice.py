@@ -114,13 +114,15 @@ class ReplicaState:
         "jumps_mean",
         "events_mean",
         "truncated_mean",
+        "msd4_mean",
     ]
 )
 class ObsRow:
     """Per-frame ensemble observables (mean/variance across replicas).
     ``truncated_mean`` is the fraction of replicas that hit the per-frame
     event bound this frame — a nonzero value means max_events_per_frame should
-    be raised (no silent caps)."""
+    be raised (no silent caps). ``msd4_mean`` is the 4th displacement moment
+    (the legacy ``higher_msd`` capability, IO/config_parser.py:350-355)."""
 
     frame: Array
     time: Array
@@ -131,6 +133,7 @@ class ObsRow:
     jumps_mean: Array
     events_mean: Array
     truncated_mean: Array
+    msd4_mean: Array
 
 
 @_pytree(data_fields=["replicas", "site_disp", "prev_pos"])
@@ -394,6 +397,14 @@ def observables_of(states: ReplicaState, site_disp):
     return msd, autocorr
 
 
+def displacement_moment4(states: ReplicaState, site_disp):
+    """Per-replica mean of |disp|^4 over protons (legacy higher_msd,
+    IO/config_parser.py:350-355)."""
+    disp = proton_displacement(states, site_disp)
+    r2 = jnp.sum(disp * disp, axis=-1)
+    return jnp.mean(r2 * r2, axis=-1)
+
+
 def _make_row(states: ReplicaState, site_disp, frame):
     msd, autocorr = observables_of(states, site_disp)
     return ObsRow(
@@ -406,6 +417,7 @@ def _make_row(states: ReplicaState, site_disp, frame):
         jumps_mean=states.jumps.astype(jnp.float32).mean(),
         events_mean=states.clock.event_count.astype(jnp.float32).mean(),
         truncated_mean=jnp.float32(0.0),
+        msd4_mean=displacement_moment4(states, site_disp).mean(),
     )
 
 
@@ -414,7 +426,7 @@ def _empty_row(frame):
     z = jnp.float32(0.0)
     return ObsRow(frame=frame.index, time=frame.time, msd_mean=z3, msd_var=z3,
                   autocorr_mean=z, autocorr_var=z, jumps_mean=z, events_mean=z,
-                  truncated_mean=z)
+                  truncated_mean=z, msd4_mean=z)
 
 
 def _reset_states(states: ReplicaState, site_disp):
@@ -517,7 +529,7 @@ def run_block(
 @partial(
     jax.jit,
     static_argnames=("dt", "max_events", "reset_frequency", "hist_range",
-                     "emit_every"),
+                     "emit_every", "equilibration"),
 )
 def run_block_with_sites(
     model,
@@ -531,11 +543,12 @@ def run_block_with_sites(
     reset_frequency: int = 0,
     hist_range: tuple = (2.0, 3.0),
     emit_every: int = 1,
+    equilibration: int = 0,
 ):
     """Like :func:`run_block`, additionally emitting replica 0's proton site
     indices per frame — feeds the XYZOutput mode (MDMC.py:173-177)."""
     ens, (rows, sites) = _block_scan(
         model, cell, ens, keys, frames, dt, max_events, reset_frequency,
-        hist_range, emit_every, with_sites=True,
+        hist_range, emit_every, with_sites=True, equilibration=equilibration,
     )
     return ens, rows, sites

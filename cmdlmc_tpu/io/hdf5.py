@@ -35,11 +35,21 @@ class HDF5Trajectory:
         selection=None,
         repeat: bool = False,
         chunk_size: int = 1000,
+        stride: int = 1,
+        clip: int | None = None,
+        shuffle_seed: int | None = None,
     ):
+        """``stride``/``clip`` re-provide the legacy ``skip_frames``/
+        ``clip_trajectory`` keys; ``shuffle_seed`` enables the legacy
+        ``shuffle`` mode — frames drawn uniformly at random (with replacement,
+        seeded, endless; bound the run with sweeps/max_frames)."""
         self.filename = filename
         self.time_step = time_step
         self.repeat = repeat
         self.chunk_size = int(chunk_size)
+        self.stride = max(int(stride), 1)
+        self.clip = int(clip) if clip else None
+        self.shuffle_seed = shuffle_seed
         self._current_frame_number = 0
 
         with h5py.File(filename, "r") as f:
@@ -57,20 +67,53 @@ class HDF5Trajectory:
 
     def iter_batches(self) -> Iterator[tuple[np.ndarray, np.ndarray, int]]:
         names = self.atom_names if self.selection is None else self.atom_names[self.selection]
+        if self.shuffle_seed is not None:
+            yield from self._iter_shuffled(names)
+            return
         while True:
             with h5py.File(self.filename, "r") as f:
                 traj = f[TRAJECTORY_KEY]
                 n = traj.shape[0]
+                if self.clip is not None:
+                    n = min(n, self.clip)
                 for start in range(0, n, self.chunk_size):
                     stop = min(start + self.chunk_size, n)
-                    block = traj[start:stop]
+                    if self.stride > 1:
+                        # h5py fancy-slices with a step natively
+                        first = -(start % -self.stride) + start  # round up
+                        if first >= stop:
+                            continue
+                        block = traj[first:stop:self.stride]
+                    else:
+                        block = traj[start:stop]
                     if self.selection is not None:
                         block = block[:, self.selection]
                     batch_start = self._current_frame_number
-                    self._current_frame_number += stop - start
+                    self._current_frame_number += block.shape[0]
                     yield names, np.asarray(block, dtype=np.float32), batch_start
             if not self.repeat:
                 return
+
+    def _iter_shuffled(self, names):
+        """Legacy 'shuffle' mode (IO/config_parser.py:275-281): an endless,
+        seeded stream of uniformly random frames."""
+        rng = np.random.default_rng(self.shuffle_seed)
+        with h5py.File(self.filename, "r") as f:
+            traj = f[TRAJECTORY_KEY]
+            n = traj.shape[0]
+            if self.clip is not None:
+                n = min(n, self.clip)
+            while True:
+                idx = rng.integers(0, n, size=self.chunk_size)
+                # h5py needs strictly increasing fancy indices; sampling is
+                # with replacement, so read unique rows and expand
+                uniq, inv = np.unique(idx, return_inverse=True)
+                block = traj[uniq][inv]
+                if self.selection is not None:
+                    block = block[:, self.selection]
+                batch_start = self._current_frame_number
+                self._current_frame_number += block.shape[0]
+                yield names, np.asarray(block, dtype=np.float32), batch_start
 
     def __iter__(self) -> Iterator[HostFrame]:
         for names, positions, start in self.iter_batches():
@@ -81,7 +124,10 @@ class HDF5Trajectory:
 
     def __len__(self):
         with h5py.File(self.filename, "r") as f:
-            return f[TRAJECTORY_KEY].shape[0]
+            n = f[TRAJECTORY_KEY].shape[0]
+        if self.clip is not None:
+            n = min(n, self.clip)
+        return -(-n // self.stride)
 
     @property
     def current_frame_number(self):

@@ -84,7 +84,10 @@ class XYZTrajectory:
     Parameters mirror the reference XYZTrajectory (trajectory_parser.py:176-269):
     ``time_step`` (fs between frames), ``number_of_atoms`` (read from the file
     header if omitted), ``selection`` (name, tuple of names, or index array),
-    ``repeat`` (loop forever).
+    ``repeat`` (loop forever). ``stride``/``clip`` re-provide the legacy
+    ``skip_frames``/``clip_trajectory`` keys (IO/config_parser.py:196-243):
+    every ``stride``-th source frame of the first ``clip`` frames is used (and
+    looped over under ``repeat``).
     """
 
     def __init__(
@@ -96,12 +99,16 @@ class XYZTrajectory:
         selection=None,
         repeat: bool = False,
         batch_frames: int = 256,
+        stride: int = 1,
+        clip: int | None = None,
     ):
         self.filename = filename
         self.time_step = time_step
         self.selection = selection
         self.repeat = repeat
         self.batch_frames = batch_frames
+        self.stride = max(int(stride), 1)
+        self.clip = int(clip) if clip else None
         self._current_frame_number = 0
 
         if number_of_atoms is None:
@@ -134,17 +141,24 @@ class XYZTrajectory:
 
         while True:
             f, close = _open_maybe(self.filename)
+            src_idx = 0
             try:
                 body: list[str] = []
                 frames_in_batch = 0
                 batch_start = self._current_frame_number
                 while True:
+                    if self.clip is not None and src_idx >= self.clip:
+                        break
                     lines = [f.readline() for _ in range(frame_len)]
                     if not lines[-1] and not lines[0]:
                         break  # EOF
                     if not lines[-1] and lines[0]:
                         logger.warning("Trailing partial frame ignored")
                         break
+                    keep = src_idx % self.stride == 0
+                    src_idx += 1
+                    if not keep:
+                        continue
                     body.extend(lines[2:])
                     frames_in_batch += 1
                     self._current_frame_number += 1
@@ -188,7 +202,10 @@ class XYZTrajectory:
                 f.close()
             elif hasattr(f, "seek"):
                 f.seek(0)
-        return counter // (self._number_of_atoms + 2)
+        n = counter // (self._number_of_atoms + 2)
+        if self.clip is not None:
+            n = min(n, self.clip)
+        return -(-n // self.stride)
 
 
 def write_xyz_frame(out: io.TextIOBase, names: Sequence[str], positions, comment=""):

@@ -334,12 +334,14 @@ def run_water_block_fused(
     tile: int | None = None,
     interpret: bool | None = None,
     tile_offset: int = 0,
+    return_truncation: bool = False,
 ):
     """Advance the water ensemble with the fused Pallas kernel.
 
-    Returns (states', site_disp', prev_pos'). The snapshot/displacement fields
-    are converted to/from the kernel's rebased form at the block boundaries,
-    so the WaterState contract is unchanged.
+    Returns (states', site_disp', prev_pos') — plus the per-replica count of
+    event-budget-exhausted frames when ``return_truncation`` is set. The
+    snapshot/displacement fields are converted to/from the kernel's rebased
+    form at the block boundaries, so the WaterState contract is unchanged.
     """
     from cmdlmc_tpu.engine.fused import pick_tile
     from cmdlmc_tpu.ops import kmc_sweep as ks
@@ -358,7 +360,8 @@ def run_water_block_fused(
     # entry conversion: displacement = A + S[site] + corr
     a_in = states.displacement - site_disp[states.site] - states.correction
 
-    (site, last, fsj, wait, jumps, evc, u, corr, a_out, s_out, prev_out) = (
+    (site, last, fsj, wait, jumps, evc, u, corr, a_out, s_out, prev_out,
+     trunc) = (
         ws.water_sweep(
             jnp.asarray(positions_block, jnp.float32),
             prev_pos, site_disp,
@@ -387,4 +390,6 @@ def run_water_block_fused(
         correction=corr, clock=clock, jumps=jumps, snapshot=snapshot,
         displacement=displacement,
     )
+    if return_truncation:
+        return new_states, s_out, prev_out, trunc
     return new_states, s_out, prev_out

@@ -154,7 +154,7 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
         # outputs
         occ_out, lab_out, site_out, tlast_out,
         dbx_out, dby_out, dbz_out, u_out, evc_out,
-        s_out, prev_out,
+        s_out, prev_out, trunc_out,
         # scratch
         s_scr, prev_scr, phase_scr, done_scr, w_scr,
     ):
@@ -175,6 +175,7 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
         dbz_out[:] = dbz_ref[:]
         u_out[:] = u_ref[:]
         evc_out[:] = evc_ref[:]
+        trunc_out[:] = jnp.zeros((TR, 1), jnp.int32)
         s_scr[:] = s0_ref[:]
         prev_scr[:] = prev_ref[:]
 
@@ -292,6 +293,12 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
                 def _(ev=ev):
                     ev_iter(W, post, frame_idx, frame_time, ev)
 
+            # 'no silent caps': a replica still live after max_events
+            # iterations fired the full event budget — possibly truncated
+            trunc_out[:] = trunc_out[:] + jnp.logical_not(
+                done_scr[:]
+            ).astype(jnp.int32)
+
             _, total = total_rate(W)
             u_out[:] = u_out[:] - total * (f32(dt) - phase_scr[:])
             return 0
@@ -389,11 +396,12 @@ def kmc_sweep(
         jax.ShapeDtypeStruct((R, 1), jnp.int32),
         jax.ShapeDtypeStruct((3, N), jnp.float32),
         jax.ShapeDtypeStruct((3, N), jnp.float32),
+        jax.ShapeDtypeStruct((R, 1), jnp.int32),  # truncated-frame count
     )
     out_specs = (
         rep_spec(N), rep_spec(N), rep_spec(P), rep_spec(P),
         rep_spec(P), rep_spec(P), rep_spec(P), rep_spec(1), rep_spec(1),
-        full(), full(),
+        full(), full(), rep_spec(1),
     )
 
     res = pl.pallas_call(
@@ -431,9 +439,10 @@ def kmc_sweep(
         dbx, dby, dbz,
         u_rem.reshape(R, 1), ev_count.reshape(R, 1).astype(jnp.int32),
     )
-    (occ2, lab2, sites2, tlast2, dbx2, dby2, dbz2, u2, evc2, s2, prev2) = res
+    (occ2, lab2, sites2, tlast2, dbx2, dby2, dbz2, u2, evc2, s2, prev2,
+     trunc2) = res
     disp_base2 = jnp.stack([dbx2, dby2, dbz2], axis=-1)
     return (
         occ2, lab2, sites2, tlast2, disp_base2,
-        u2.reshape(R), evc2.reshape(R), s2.T, prev2.T,
+        u2.reshape(R), evc2.reshape(R), s2.T, prev2.T, trunc2.reshape(R),
     )

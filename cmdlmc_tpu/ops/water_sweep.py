@@ -70,7 +70,7 @@ def _make_kernel(*, n_sites, tile, block, k_atoms, kind, tkind, dt, seed,
         a_ref,  # [TR, 3] f32 disp_base
         # outputs
         site_out, last_out, fsj_out, wait_out, jumps_out, evc_out,
-        u_out, corr_out, a_out, s_out, prev_out,
+        u_out, corr_out, a_out, s_out, prev_out, trunc_out,
         # scratch
         s_scr, prev_scr, d_scr, topd_scr, topi_scr, resc_scr,
         phase_scr, done_scr,
@@ -90,6 +90,7 @@ def _make_kernel(*, n_sites, tile, block, k_atoms, kind, tkind, dt, seed,
         u_out[:] = u_ref[:]
         corr_out[:] = corr_ref[:]
         a_out[:] = a_ref[:]
+        trunc_out[:] = jnp.zeros((TR, 1), jnp.int32)
         s_scr[:] = s0_ref[:]
         prev_scr[:] = prev_ref[:]
 
@@ -259,6 +260,11 @@ def _make_kernel(*, n_sites, tile, block, k_atoms, kind, tkind, dt, seed,
                 def _(ev=ev):
                     ev_iter(post, frame_idx, frame_time, ev)
 
+            # 'no silent caps': still-live replicas exhausted the event budget
+            trunc_out[:] = trunc_out[:] + jnp.logical_not(
+                done_scr[:]
+            ).astype(jnp.int32)
+
             # leftover integrated rate
             rates, _ = candidates(site_out[:], last_out[:], fsj_out[:], wait_out[:])
             total = jnp.sum(rates, axis=1, keepdims=True)
@@ -344,10 +350,11 @@ def water_sweep(
         jax.ShapeDtypeStruct((R, 3), jnp.float32),  # disp_base
         jax.ShapeDtypeStruct((3, N), jnp.float32),  # site_disp
         jax.ShapeDtypeStruct((3, N), jnp.float32),  # prev
+        jax.ShapeDtypeStruct((R, 1), jnp.int32),  # truncated-frame count
     )
     out_specs = (
         rep(1), rep(1), rep(1), rep(1), rep(1), rep(1), rep(1),
-        rep(3), rep(3), full(), full(),
+        rep(3), rep(3), full(), full(), rep(1),
     )
 
     res = pl.pallas_call(
@@ -388,9 +395,10 @@ def water_sweep(
         u_rem.reshape(R, 1).astype(jnp.float32),
         jnp.asarray(corr, jnp.float32), jnp.asarray(disp_base, jnp.float32),
     )
-    (site2, last2, fsj2, wait2, jumps2, evc2, u2, corr2, a2, s2, prev2) = res
+    (site2, last2, fsj2, wait2, jumps2, evc2, u2, corr2, a2, s2, prev2,
+     trunc2) = res
     flat = lambda x: x.reshape(R)
     return (
         flat(site2), flat(last2), flat(fsj2), flat(wait2), flat(jumps2),
-        flat(evc2), u2.reshape(R), corr2, a2, s2.T, prev2.T,
+        flat(evc2), u2.reshape(R), corr2, a2, s2.T, prev2.T, flat(trunc2),
     )

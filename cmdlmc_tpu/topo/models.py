@@ -110,6 +110,50 @@ class PairRates:
         return shared
 
 
+@_pytree(data_fields=["cell", "law", "cutoff", "buffer"], meta_fields=["k"])
+class TopKPairRates:
+    """NeighborTopology semantics with a K-nearest neighbor list instead of the
+    dense [N, N] rate matrix — the TPU analog of the reference's Verlet-list
+    option (topology.py:80-114): for large supercells the dense W build (and
+    its VMEM footprint) dominates, while each donor only ever has a handful of
+    neighbors inside cutoff+buffer.
+
+    Exactly equivalent to :class:`PairRates` whenever ``k`` covers every
+    neighbor within cutoff+buffer (the reference's own Verlet-equals-brute-force
+    property, tests/topo/test_topology.py:68-101); rates beyond the K closest
+    are dropped otherwise.
+    """
+
+    cell: Cell
+    law: Any
+    cutoff: Array
+    buffer: Array
+    k: int = 8
+
+    per_replica = True  # engine top-K path; omega itself is replica-independent
+
+    def shared(self, frame: Frame) -> TopKShared:
+        d = pairwise_distances(self.cell, frame.donors, frame.donors)
+        n = d.shape[0]
+        d = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, d)
+        d = jnp.where(d <= self.cutoff + self.buffer, d, jnp.inf)
+        neg_d, nbr = jax.lax.top_k(-d, min(self.k, n - 1))
+        dist = -neg_d
+        valid = jnp.isfinite(dist)
+        dist = jnp.where(valid, dist, 1e6)
+        return TopKShared(
+            dist=dist,
+            dist_rescaled=dist,
+            nbr=nbr.astype(jnp.int32),
+            valid=valid,
+            time=frame.time,
+        )
+
+    def replica_omega(self, shared: TopKShared, site_residence: Array):
+        omega = jnp.where(shared.valid, self.law(shared.dist), 0.0)
+        return omega, shared.nbr, shared.valid
+
+
 # ----------------------------------------------------------------------------
 # AngleTopology
 # ----------------------------------------------------------------------------
