@@ -80,6 +80,8 @@ def kmc_water_main(settings, out=None):
     )
 
     fname = settings.filename
+    if fname is None:
+        raise ValueError("KMCWater config needs 'filename'")
     if fname.endswith((".h5", ".hdf5")):
         traj = HDF5Trajectory(fname, time_step=dt, repeat=False)
     else:

@@ -57,7 +57,9 @@ NO_DEFAULT = object()
 
 # (key, parse_fct, default, help)
 _COMMON = [
-    ("filename", parse_string, NO_DEFAULT, "Trajectory file (xyz or HDF5)."),
+    ("filename", parse_string, None,
+     "Trajectory file (xyz or HDF5). cMDLMC configs may instead give "
+     "'auxiliary_file'."),
     ("pbc", parse_floats, NO_DEFAULT,
      "Periodic boundaries: 3 values (orthogonal) or 9 (full cell vectors)."),
     ("md_timestep_fs", parse_float, NO_DEFAULT, "Time between two MD frames in fs."),

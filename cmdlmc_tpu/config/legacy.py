@@ -15,8 +15,31 @@ from cmdlmc_tpu.config import schema as S
 from cmdlmc_tpu.config.keyword import load_configfile
 
 
+def _maybe_convert_to_hdf5(fname: str) -> str:
+    """Convert an .xyz trajectory to a compressed .hdf5 sibling once and
+    stream from that (the legacy ``hdf5`` keyword, IO/config_parser.py:251-257;
+    the reference converted on first use and re-used the cache)."""
+    import os
+
+    if str(fname).endswith((".h5", ".hdf5")):
+        return fname
+    target = os.path.splitext(str(fname))[0] + ".hdf5"
+    if not os.path.exists(target):
+        from cmdlmc_tpu.io.converters import save_xyz_to_hdf5
+
+        save_xyz_to_hdf5(str(fname), target)
+    return target
+
+
 def legacy_to_simulation_config(settings) -> S.SimulationConfig:
-    fname = settings.filename
+    # 'filename' with 'auxiliary_file' as the fallback name for the coordinate
+    # file (IO/config_parser.py:161-168)
+    fname = settings.filename or settings.auxiliary_file
+    if fname is None:
+        raise ValueError("config needs 'filename' (or 'auxiliary_file')")
+    if settings.hdf5 or settings.shuffle:
+        # shuffle needs random frame access, so it implies the HDF5 conversion
+        fname = _maybe_convert_to_hdf5(fname)
     traj_type = (
         "HDF5Trajectory" if str(fname).endswith((".h5", ".hdf5")) else "XYZTrajectory"
     )
@@ -31,7 +54,9 @@ def legacy_to_simulation_config(settings) -> S.SimulationConfig:
     jumprate = S.JumpRateSection()
     topo_type = "NeighborTopology"
     if jr_type in ("MD_rates", "MD_rates_Water"):
-        if settings.angle_threshold > 0:
+        # angle_dependency False disables the gate even when a threshold is
+        # set (IO/config_parser.py:463-468)
+        if settings.angle_threshold > 0 and settings.angle_dependency:
             jumprate.type_ = "FermiAngle"
             jumprate.theta = settings.angle_threshold
             topo_type = "AngleTopology"
@@ -53,7 +78,14 @@ def legacy_to_simulation_config(settings) -> S.SimulationConfig:
 
     return S.SimulationConfig(
         trajectory=S.TrajectorySection(
-            filename=fname, time_step=settings.md_timestep_fs, type_=traj_type
+            filename=fname,
+            time_step=settings.md_timestep_fs,
+            type_=traj_type,
+            # every (skip_frames+1)-th frame (IO/config_parser.py:196-202)
+            stride=settings.skip_frames + 1,
+            clip=settings.clip_trajectory,
+            shuffle_seed=settings.seed if settings.shuffle else None,
+            repeat=settings.clip_trajectory is not None,
         ),
         atombox=S.AtomBoxSection(
             periodic_boundaries=pbc,
@@ -65,7 +97,13 @@ def legacy_to_simulation_config(settings) -> S.SimulationConfig:
             donor_atoms=settings.donor_atoms,
             cutoff=cutoff,
             buffer=buffer_,
-            extra_atoms="P" if topo_type == "AngleTopology" else None,
+            # o_neighbor names the heavy atom for the P-O-O angle gate
+            # (IO/config_parser.py:175-181)
+            extra_atoms=settings.o_neighbor if topo_type == "AngleTopology" else None,
+            # Verlet-list analog: K-nearest neighbor list instead of the dense
+            # rate matrix; K = 16 covers every neighbor inside the search
+            # radius in all reference systems (topology.py:80-114)
+            max_neighbors=16 if settings.neighbor_list else None,
         ),
         jumprate=jumprate,
         kmc=S.KMCLatticeSection(
@@ -79,6 +117,9 @@ def legacy_to_simulation_config(settings) -> S.SimulationConfig:
             reset_frequency=settings.reset_freq,
             print_frequency=settings.print_frequency,
             variance=settings.variance_per_proton,
+            periodic_wrap=settings.periodic_wrap,
+            higher_msd=settings.higher_msd,
+            filename=settings.output,
         ),
         engine=S.EngineSection(
             replicas=settings.replicas,
