@@ -379,17 +379,23 @@ class Simulation:
                 for sub_start, sub_end in self._fused_spans(
                     block.start, block_end_idx
                 ):
+                    lo = sub_start - block.start
+                    hi = sub_end - block.start
                     states, trunc = eng_fused.run_block_fused(
                         model,
                         self.cell,
                         states,
-                        frames.donors[sub_start - block.start:
-                                      sub_end - block.start],
+                        frames.donors[lo:hi],
                         sub_start,
                         dt=self.dt,
                         max_events=cfg.engine.max_events_per_frame,
                         seed=cfg.engine.seed,
                         return_truncation=True,
+                        extras_positions=(
+                            frames.extras[lo:hi]
+                            if frames.extras is not None else None
+                        ),
+                        hist_range=tuple(self.hist_range),
                     )
                     # accumulate on device; fetched once at end of run (each
                     # host fetch costs a round trip on a tunneled backend)

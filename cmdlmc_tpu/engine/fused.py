@@ -1,11 +1,18 @@
-"""Fused-kernel engine backend: EnsembleState <-> kmc_sweep kernel adapter.
+"""Fused-kernel engine backend: EnsembleState <-> Pallas kernel adapters.
 
-``run_block_fused`` is a drop-in alternative to ``run_block`` for the dense
-PairRates model on orthorhombic cells with symmetric laws; it advances the
-whole block inside one Pallas kernel (ops/kmc_sweep.py) instead of a lax.scan
-of many small XLA ops. Use :func:`fused_supported` to decide; the scan engine
-remains the general path (angle laws, hydronium, histograms, triclinic cells).
-"""
+``run_block_fused`` is a drop-in alternative to ``run_block``; it advances the
+whole block inside one Pallas kernel instead of a lax.scan of many small XLA
+ops. Two kernels cover the capability matrix:
+
+* ``ops/kmc_sweep.py`` — dense [N, N] rate matrix: PairRates with symmetric
+  distance laws, AnglePairRates with the (asymmetric) FermiAngle gate, and
+  optional jump histogram / exposure / jump-matrix statistics.
+* ``ops/topk_sweep.py`` — K-nearest neighbor lists: TopKPairRates (the
+  reference's Verlet-list option) and HydroniumRates with residence-time
+  distance relaxation (topology.py:170-257).
+
+Use :func:`fused_supported` to decide; the XLA scan engine remains the general
+path (triclinic cells, exotic laws)."""
 
 from __future__ import annotations
 
@@ -17,22 +24,30 @@ import jax.numpy as jnp
 from cmdlmc_tpu.core.cell import Cell
 from cmdlmc_tpu.engine.lattice import EnsembleState
 from cmdlmc_tpu.ops import kmc_sweep as ks
-from cmdlmc_tpu.topo.models import PairRates
+from cmdlmc_tpu.rates import laws as rate_laws
+from cmdlmc_tpu.topo.models import AnglePairRates, HydroniumRates, PairRates, TopKPairRates
 
 
 def fused_unsupported_reason(model, cell: Cell, ens: EnsembleState) -> str | None:
-    """None if the fused kernel can run this configuration, else a human-readable
+    """None if a fused kernel can run this configuration, else a human-readable
     reason (the driver raises it when backend=fused is forced)."""
-    if not isinstance(model, PairRates):
-        return f"topology model {type(model).__name__} is not PairRates"
     if not cell.orthorhombic:
         return "triclinic cells need the general minimum image (scan backend)"
-    if ks.law_kind(model.law) is None:
-        return f"rate law {type(model.law).__name__} has no fused kernel"
-    if ens.replicas.jump_hist.shape[-1] != 0:
-        return "distance-resolved jump/exposure histograms (jumpstat)"
-    if ens.replicas.jump_matrix.shape[-1] != 0:
-        return "pairwise jump matrix tracking"
+    if isinstance(model, (TopKPairRates, HydroniumRates)):
+        from cmdlmc_tpu.ops import topk_sweep as ts
+
+        return ts.topk_unsupported_reason(model)
+    if isinstance(model, AnglePairRates):
+        if not isinstance(model.law, rate_laws.FermiAngle):
+            return (
+                f"AngleTopology with law {type(model.law).__name__} has no "
+                "fused kernel (only FermiAngle)"
+            )
+        return None
+    if not isinstance(model, PairRates):
+        return f"topology model {type(model).__name__} has no fused kernel"
+    if ks.law_kind(model.law) in (None, ks.KIND_FERMI_ANGLE):
+        return f"rate law {type(model.law).__name__} needs AngleTopology"
     return None
 
 
@@ -54,8 +69,14 @@ def pick_tile(n_replicas: int, target: int = 128, n_sites: int = 0) -> int:
     return t
 
 
+def _grouped_positions(model, extras_positions):
+    """[B, N, 3] heavy-atom position of each donor's group (host-side gather —
+    o_to_p is static, so this is one cheap XLA take per block)."""
+    return jnp.asarray(extras_positions, jnp.float32)[:, model.o_to_p, :]
+
+
 def run_block_fused(
-    model: PairRates,
+    model,
     cell: Cell,
     ens: EnsembleState,
     frames_positions,  # [B, N, 3] f32
@@ -68,6 +89,8 @@ def run_block_fused(
     interpret: bool | None = None,
     tile_offset=0,
     return_truncation: bool = False,
+    extras_positions=None,  # [B, M, 3] heavy atoms (AngleTopology)
+    hist_range: tuple = (2.0, 3.0),
 ) -> EnsembleState:
     """Advance all replicas across the block with the fused kernel. Returns the
     updated ensemble (no per-frame rows — the runner reads observables from
@@ -81,54 +104,89 @@ def run_block_fused(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    cutbuf = float(model.cutoff) + float(model.buffer)
-    (occ, labels, sites, tlast, disp_base, u, evc, s, prev, trunc) = ks.kmc_sweep(
-        jnp.asarray(frames_positions, jnp.float32),
-        ens.prev_pos,
-        ens.site_disp,
-        rep.occ,
-        rep.proton_of_site.astype(jnp.float32),
-        rep.site_of_proton,
-        rep.t_last_jump,
-        rep.disp_base,
-        rep.clock.u_remaining,
-        rep.clock.event_count,
-        ks.law_params_array(model.law),
-        jnp.int32(frame0),
-        jnp.diagonal(cell.h),
-        tile_offset,
-        kind=ks.law_kind(model.law),
-        tile=tile,
-        max_events=max_events,
-        dt=float(dt),
-        seed=int(seed),
-        cutbuf=cutbuf,
-        interpret=bool(interpret),
-    )
-    jumps_delta = evc - rep.clock.event_count
+    if isinstance(model, (TopKPairRates, HydroniumRates)):
+        from cmdlmc_tpu.ops import topk_sweep as ts
+
+        out = ts.run_block_topk(
+            model, ens, frames_positions, frame0,
+            dt=dt, max_events=max_events, seed=seed, tile=tile,
+            interpret=interpret, tile_offset=tile_offset,
+            hist_range=hist_range,
+        )
+    else:
+        nbins = rep.jump_hist.shape[-1]
+        track_matrix = rep.jump_matrix.shape[-1] != 0
+        kind = ks.law_kind(model.law)
+        pgrp = None
+        if isinstance(model, AnglePairRates):
+            if extras_positions is None:
+                raise ValueError("AngleTopology fused run needs extra-atom positions")
+            pgrp = _grouped_positions(model, extras_positions)
+        cutbuf = float(model.cutoff) + float(model.buffer)
+        out = ks.kmc_sweep(
+            jnp.asarray(frames_positions, jnp.float32),
+            ens.prev_pos,
+            ens.site_disp,
+            rep.occ,
+            rep.proton_of_site.astype(jnp.float32),
+            rep.site_of_proton,
+            rep.t_last_jump,
+            rep.disp_base,
+            rep.clock.u_remaining,
+            rep.clock.event_count,
+            ks.law_params_array(model.law),
+            jnp.int32(frame0),
+            jnp.diagonal(cell.h),
+            tile_offset,
+            pgrp_positions=pgrp,
+            jump_hist=rep.jump_hist if nbins else None,
+            exposure=rep.opportunity_hist if nbins else None,
+            kind=kind,
+            tile=tile,
+            max_events=max_events,
+            dt=float(dt),
+            seed=int(seed),
+            cutbuf=cutbuf,
+            interpret=bool(interpret),
+            nbins=nbins,
+            hist_range=tuple(hist_range),
+            track_matrix=track_matrix,
+        )
+    jumps_delta = out["ev_count"] - rep.clock.event_count
     clock = dataclasses.replace(
         rep.clock,
-        u_remaining=u,
-        event_count=evc,
+        u_remaining=out["u_rem"],
+        event_count=out["ev_count"],
     )
-    replicas = dataclasses.replace(
-        rep,
-        occ=occ,
-        proton_of_site=jnp.round(labels).astype(jnp.int32),
-        site_of_proton=sites,
-        t_last_jump=tlast,
-        disp_base=disp_base,
+    updates = dict(
+        occ=out["occ"],
+        proton_of_site=jnp.round(out["labels"]).astype(jnp.int32),
+        site_of_proton=out["sites"],
+        t_last_jump=out["tlast"],
+        disp_base=out["disp_base"],
         clock=clock,
         jumps=rep.jumps + jumps_delta,
     )
-    out = EnsembleState(replicas=replicas, site_disp=s, prev_pos=prev)
+    if "jump_hist" in out:
+        updates["jump_hist"] = out["jump_hist"]
+        updates["opportunity_hist"] = out["exposure"]
+    if "jump_matrix" in out:
+        # the kernel returns the tile-summed pair matrix; fold it into replica
+        # 0's slot so the driver's sum-over-replicas stays correct
+        updates["jump_matrix"] = rep.jump_matrix.at[0].add(
+            jnp.round(out["jump_matrix"]).astype(rep.jump_matrix.dtype)
+        )
+    replicas = dataclasses.replace(rep, **updates)
+    ens_out = EnsembleState(
+        replicas=replicas, site_disp=out["site_disp"], prev_pos=out["prev_pos"]
+    )
     if return_truncation:
-        return out, trunc
-    return out
+        return ens_out, out["trunc"]
+    return ens_out
 
 
 def run_block_fused_sharded(
-    model: PairRates,
+    model,
     cell: Cell,
     ens: EnsembleState,
     frames_positions,
@@ -141,6 +199,8 @@ def run_block_fused_sharded(
     seed: int = 0,
     tile: int | None = None,
     interpret: bool | None = None,
+    extras_positions=None,
+    hist_range: tuple = (2.0, 3.0),
 ) -> EnsembleState:
     """Multi-chip fused sweep: shard the replica axis over the mesh and run the
     Pallas kernel per device under shard_map. Tile ids are offset per shard so
@@ -158,41 +218,60 @@ def run_block_fused_sharded(
     tiles_per_dev = local_r // tile
 
     rep0 = ens.replicas
+    nbins = rep0.jump_hist.shape[-1]
+    kind = ks.law_kind(model.law)
+    pgrp = None
+    if isinstance(model, AnglePairRates):
+        if extras_positions is None:
+            raise ValueError("AngleTopology fused run needs extra-atom positions")
+        pgrp = _grouped_positions(model, extras_positions)
     cutbuf = float(model.cutoff) + float(model.buffer)
+    use_interp = bool(
+        interpret if interpret is not None else jax.default_backend() != "tpu"
+    )
 
-    def local(occ, labels, sites, tlast, disp_base, u, evc, site_disp,
-              prev_pos, positions):
+    def local(occ, labels, sites, tlast, disp_base, u, evc, hist, expo,
+              site_disp, prev_pos, positions, pgrp_arr):
         idx = jax.lax.axis_index(axis)
-        return ks.kmc_sweep(
+        out = ks.kmc_sweep(
             positions, prev_pos, site_disp,
             occ, labels, sites, tlast, disp_base, u, evc,
             ks.law_params_array(model.law),
             jnp.int32(frame0),
             jnp.diagonal(cell.h),
             idx * tiles_per_dev,
-            kind=ks.law_kind(model.law),
+            pgrp_positions=pgrp_arr if pgrp is not None else None,
+            jump_hist=hist if nbins else None,
+            exposure=expo if nbins else None,
+            kind=kind,
             tile=tile,
             max_events=max_events,
             dt=float(dt),
             seed=int(seed),
             cutbuf=cutbuf,
-            interpret=bool(
-                interpret if interpret is not None
-                else jax.default_backend() != "tpu"
-            ),
+            interpret=use_interp,
+            nbins=nbins,
+            hist_range=tuple(hist_range),
         )
+        keys = ["occ", "labels", "sites", "tlast", "disp_base", "u_rem",
+                "ev_count", "site_disp", "prev_pos", "trunc"]
+        if nbins:
+            keys += ["jump_hist", "exposure"]
+        return tuple(out[k] for k in keys)
 
-    (occ, labels, sites, tlast, disp_base, u, evc, s, prev, _trunc) = jax.shard_map(
+    n_out = 12 if nbins else 10
+    out_specs = [P(axis)] * 7 + [P(), P(), P(axis)]
+    if nbins:
+        out_specs += [P(axis), P(axis)]
+    res = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(
             P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-            P(), P(), P(),
+            P(axis), P(axis),
+            P(), P(), P(), P(),
         ),
-        out_specs=(
-            P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-            P(), P(), P(axis),
-        ),
+        out_specs=tuple(out_specs),
         check_vma=False,
     )(
         rep0.occ,
@@ -202,14 +281,19 @@ def run_block_fused_sharded(
         rep0.disp_base,
         rep0.clock.u_remaining,
         rep0.clock.event_count,
+        rep0.jump_hist,
+        rep0.opportunity_hist,
         ens.site_disp,
         ens.prev_pos,
         jnp.asarray(frames_positions, jnp.float32),
+        pgrp if pgrp is not None else jnp.zeros_like(
+            jnp.asarray(frames_positions, jnp.float32)
+        ),
     )
+    (occ, labels, sites, tlast, disp_base, u, evc, s, prev, _trunc) = res[:10]
     jumps_delta = evc - rep0.clock.event_count
     clock = dataclasses.replace(rep0.clock, u_remaining=u, event_count=evc)
-    replicas = dataclasses.replace(
-        rep0,
+    updates = dict(
         occ=occ,
         proton_of_site=jnp.round(labels).astype(jnp.int32),
         site_of_proton=sites,
@@ -218,4 +302,8 @@ def run_block_fused_sharded(
         clock=clock,
         jumps=rep0.jumps + jumps_delta,
     )
+    if nbins:
+        updates["jump_hist"] = res[10]
+        updates["opportunity_hist"] = res[11]
+    replicas = dataclasses.replace(rep0, **updates)
     return EnsembleState(replicas=replicas, site_disp=s, prev_pos=prev)

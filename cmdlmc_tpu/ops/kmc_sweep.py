@@ -6,6 +6,11 @@ reference's deleted Cython LMC sweep engine, SURVEY.md §2 native component #4):
 
   per frame, per replica tile (all in VMEM):
     1. minimum-image distance matrix + rate law        -> W [N, N]
+       (optionally gated by the P-O-O angle at the donor vertex — the
+       FermiAngle law over AngleTopology, jumprate_generators.py:37-43 /
+       topology.py:158-167 — which makes W asymmetric; the occupancy
+       reduction then contracts along W's second axis instead of using the
+       symmetric column-sum trick, so no transposed copy is ever built)
     2. outgoing-rate vector  out = (1 - occ) @ W       -> MXU
     3. KMC clock arithmetic (budget vs exponential draw)
     4. two-stage transition selection via Gumbel-argmax with the TPU's
@@ -14,17 +19,21 @@ reference's deleted Cython LMC sweep engine, SURVEY.md §2 native component #4):
     5. occupancy / proton-label / residence-time / displacement updates as
        one-hot masked vector ops — no scalar gathers or scatters anywhere
     6. shared site-displacement prefix sum for O(events) MSD bookkeeping
+    7. optional jump statistics: distance-binned jump counts on event fires,
+       distance-binned allowed-transition exposure per frame (jumpstat,
+       README.md:57-58), and the pairwise jump-count matrix as one
+       [N, TR]x[TR, N] MXU outer-product accumulation per event iteration
+       (legacy jumpmatrix capability, IO/config_parser.py:300-306)
 
   in-frame event iterations beyond the first run under ``@pl.when`` on a
   per-tile any-replica-live flag, so the multi-event machinery costs nothing
   on the (overwhelmingly common) quiet iterations.
 
 Restrictions of the fused path (the XLA engine remains the general fallback):
-orthorhombic cells, symmetric distance-only rate laws (Fermi / constant /
-exponential / activation-energy — FermiAngle's angle gate is asymmetric), no
-jump histograms / jump matrix. Determinism: draws are seeded by (user seed,
-replica tile, absolute frame, event iteration), so results are independent of
-host block chunking, but the stream differs from the XLA engine's per-ordinal
+orthorhombic cells; Fermi / FermiAngle / constant / exponential /
+activation-energy laws. Determinism: draws are seeded by (user seed, replica
+tile, absolute frame, event iteration), so results are independent of host
+block chunking, but the stream differs from the XLA engine's per-ordinal
 threefry — the two backends agree distributionally, not bitwise.
 """
 
@@ -49,13 +58,15 @@ _LAW_KIND = {
     rate_laws.Exponential: 2,
     rate_laws.ActivationEnergy: 3,
 }
+KIND_FERMI_ANGLE = 4
 
 
 def law_kind(law) -> int | None:
     """Static kernel dispatch id for a law; None if the fused path can't
-    handle it (e.g. FermiAngle — asymmetric)."""
+    handle it. FermiAngle maps to the angle-gated kind (the caller must
+    provide grouped heavy-atom positions)."""
     if isinstance(law, rate_laws.FermiAngle):
-        return None
+        return KIND_FERMI_ANGLE
     for cls, kind in _LAW_KIND.items():
         if isinstance(law, cls):
             return kind
@@ -63,8 +74,14 @@ def law_kind(law) -> int | None:
 
 
 def law_params_array(law) -> Array:
-    """Pack law parameters into a [6] f32 vector for SMEM."""
+    """Pack law parameters into a [6] f32 vector for SMEM. For FermiAngle
+    slot 3 carries cos(theta): the angle >= theta gate evaluates as
+    dot(v1, v2) <= cos(theta) |v1| |v2| — no arccos in the kernel."""
     z = jnp.float32(0.0)
+    if isinstance(law, rate_laws.FermiAngle):
+        return jnp.stack(
+            [law.a, law.b, law.c, jnp.cos(law.theta), z, z]
+        ).astype(jnp.float32)
     if isinstance(law, rate_laws.Fermi):
         return jnp.stack([law.a, law.b, law.c, z, z, z]).astype(jnp.float32)
     if isinstance(law, rate_laws.Constant):
@@ -77,7 +94,7 @@ def law_params_array(law) -> Array:
 
 
 def _apply_law(kind: int, dist, p):
-    if kind == 0:  # Fermi
+    if kind in (0, KIND_FERMI_ANGLE):  # Fermi (angle gate applied separately)
         return p[0] / (1.0 + jnp.exp((dist - p[1]) / p[2]))
     if kind == 1:  # Constant
         return jnp.full_like(dist, p[0])
@@ -130,34 +147,71 @@ def _u01(key, shape):
 
 
 def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
-                 cutbuf, use_bf16=False):
+                 cutbuf, use_bf16=False, nbins=0, hist_range=(2.0, 3.0),
+                 track_matrix=False):
     N, P, TR, B = n_sites, n_protons, tile, block
     f32 = jnp.float32
     mxu_t = jnp.bfloat16 if use_bf16 else jnp.float32
+    angle = kind == KIND_FERMI_ANGLE
+    hist_lo, hist_hi = float(hist_range[0]), float(hist_range[1])
+    hist_scale = float(nbins) / max(hist_hi - hist_lo, 1e-12)
 
-    def mxu_dot(a, b):
+    def mxu_dot(a, b, contract_rhs_rows=True):
+        """a[TR, N] x b[N, N] -> [TR, N]. With contract_rhs_rows=False the
+        contraction runs along b's SECOND axis (i.e. a @ b.T without ever
+        materializing the transpose) — needed when W is asymmetric."""
+        dims = (((1,), (0,)), ((), ())) if contract_rhs_rows else (
+            ((1,), (1,)), ((), ()))
         return jax.lax.dot_general(
-            a.astype(mxu_t), b.astype(mxu_t), (((1,), (0,)), ((), ())),
+            a.astype(mxu_t), b.astype(mxu_t), dims,
             preferred_element_type=jnp.float32,
         )
 
-    def kernel(
-        box_ref,  # SMEM f32 [4]: box lengths (3) + pad
-        ints_ref,  # SMEM i32 [2]: frame0, pad
-        params_ref,  # SMEM f32 [6]: law params
-        post_ref,  # [B, 3, N] positions, transposed (lane dim = sites: a
-        #            [B, N, 3] layout would pad the 3 to 128 lanes, 42x VMEM)
-        prev_ref,  # [3, N]
-        s0_ref,  # [3, N]
-        occ_ref, lab_ref, site_ref, tlast_ref,
-        dbx_ref, dby_ref, dbz_ref, u_ref, evc_ref,
+    def kernel(*refs):
+        it = iter(range(len(refs)))
+        box_ref = refs[next(it)]  # SMEM f32 [4]: box lengths (3) + pad
+        ints_ref = refs[next(it)]  # SMEM i32 [2]: frame0, tile offset
+        params_ref = refs[next(it)]  # SMEM f32 [6]: law params
+        post_ref = refs[next(it)]  # [B, 3, N] positions, transposed (lane dim =
+        #   sites: a [B, N, 3] layout would pad the 3 to 128 lanes, 42x VMEM)
+        pgrp_ref = refs[next(it)] if angle else None  # [B, 3, N] grouped P pos
+        prev_ref = refs[next(it)]  # [3, N]
+        s0_ref = refs[next(it)]  # [3, N]
+        occ_ref = refs[next(it)]
+        lab_ref = refs[next(it)]
+        site_ref = refs[next(it)]
+        tlast_ref = refs[next(it)]
+        dbx_ref = refs[next(it)]
+        dby_ref = refs[next(it)]
+        dbz_ref = refs[next(it)]
+        u_ref = refs[next(it)]
+        evc_ref = refs[next(it)]
+        hist_ref = refs[next(it)] if nbins else None  # [TR, nbins] i32
+        expo_ref = refs[next(it)] if nbins else None  # [TR, nbins] f32
         # outputs
-        occ_out, lab_out, site_out, tlast_out,
-        dbx_out, dby_out, dbz_out, u_out, evc_out,
-        s_out, prev_out, trunc_out,
+        occ_out = refs[next(it)]
+        lab_out = refs[next(it)]
+        site_out = refs[next(it)]
+        tlast_out = refs[next(it)]
+        dbx_out = refs[next(it)]
+        dby_out = refs[next(it)]
+        dbz_out = refs[next(it)]
+        u_out = refs[next(it)]
+        evc_out = refs[next(it)]
+        s_out = refs[next(it)]
+        prev_out = refs[next(it)]
+        trunc_out = refs[next(it)]
+        hist_out = refs[next(it)] if nbins else None
+        expo_out = refs[next(it)] if nbins else None
+        jm_out = refs[next(it)] if track_matrix else None  # [1, N, N] f32
         # scratch
-        s_scr, prev_scr, phase_scr, done_scr, w_scr,
-    ):
+        s_scr = refs[next(it)]
+        prev_scr = refs[next(it)]
+        phase_scr = refs[next(it)]
+        done_scr = refs[next(it)]
+        w_scr = refs[next(it)]
+        dist_scr = refs[next(it)] if nbins else None  # [N, N] raw distances
+
         box = [box_ref[0], box_ref[1], box_ref[2]]
         frame0 = ints_ref[0]
         # global tile id: program id plus the shard's tile offset, so RNG
@@ -176,19 +230,36 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
         u_out[:] = u_ref[:]
         evc_out[:] = evc_ref[:]
         trunc_out[:] = jnp.zeros((TR, 1), jnp.int32)
+        if nbins:
+            hist_out[:] = hist_ref[:]
+            expo_out[:] = expo_ref[:]
+        if track_matrix:
+            jm_out[:] = jnp.zeros((1, N, N), f32)
         s_scr[:] = s0_ref[:]
         prev_scr[:] = prev_ref[:]
 
         iota_n = jax.lax.broadcasted_iota(jnp.int32, (TR, N), 1)
+        if nbins:
+            iota_b = jax.lax.broadcasted_iota(jnp.int32, (TR, nbins), 1)
 
         def minimg1(delta, length):
             return delta - length * jnp.round(delta / length)
 
         def total_rate(W):
             occ = occ_out[:]
-            out = mxu_dot(1.0 - occ, W)
+            # symmetric W: column sums == row sums, contract along axis 0;
+            # asymmetric (angle-gated) W: contract along axis 1 (a @ W.T)
+            out = mxu_dot(1.0 - occ, W, contract_rhs_rows=not angle)
             row = occ * out
             return row, jnp.sum(row, axis=1, keepdims=True)
+
+        def hist_bin_onehot(d):
+            """[TR, nbins] one-hot of the histogram bin of d [TR, 1], masked to
+            the in-range condition lo <= d < hi (engine/lattice.py:200-208)."""
+            inr = jnp.logical_and(d >= hist_lo, d < hist_hi)
+            raw = (d - hist_lo) * f32(hist_scale)
+            b = jnp.clip(raw.astype(jnp.int32), 0, nbins - 1)
+            return jnp.logical_and(iota_b == b, inr)
 
         def ev_iter(W, post, frame_idx, frame_time, ev):
             row, total = total_rate(W)
@@ -230,6 +301,7 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
 
             movingf = moving.astype(f32)
             db_refs = (dbx_out, dby_out, dbz_out)
+            jump_sq = jnp.zeros((TR, 1), f32)
             for dim in range(3):
                 s_col = s_scr[dim : dim + 1, :]  # [1, N]
                 p_col = post[dim : dim + 1, :]
@@ -238,8 +310,23 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
                 p_src = jnp.sum(oh_src * p_col, axis=1, keepdims=True)
                 p_dst = jnp.sum(oh_dst * p_col, axis=1, keepdims=True)
                 jump = minimg1(p_dst - p_src, box[dim])
+                jump_sq = jump_sq + jump * jump
                 db_refs[dim][:] = db_refs[dim][:] + movingf * (
                     s_src - s_dst + jump
+                )
+
+            if nbins:
+                d_evt = jnp.sqrt(jump_sq)  # == minimum-image pair distance
+                hist_out[:] = hist_out[:] + jnp.logical_and(
+                    hist_bin_onehot(d_evt), fire
+                ).astype(jnp.int32)
+            if track_matrix:
+                # per-pair jump counts for the whole tile: sum_r fire_r
+                # oh_src[r] (x) oh_dst[r] as one [N, TR] x [TR, N] MXU matmul
+                jm_out[0] = jm_out[0] + jax.lax.dot_general(
+                    (firef * oh_src).astype(mxu_t), oh_dst.astype(mxu_t),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
                 )
 
             key3 = _mix_key(seed, tile_id, frame_idx, ev, 3)
@@ -251,6 +338,7 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
 
         def frame_body(f, _):
             post = post_ref[f]  # [3, N]
+            pgrp = pgrp_ref[f] if angle else None
 
             for dim in range(3):
                 d = minimg1(
@@ -266,17 +354,37 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
             for r0 in range(0, N, RB):
                 rb = min(RB, N - r0)
                 acc = jnp.zeros((rb, N), f32)
+                dds = []
                 for dim in range(3):
                     rowvals = jnp.transpose(post[dim : dim + 1, r0 : r0 + rb])
                     dd = minimg1(rowvals - post[dim : dim + 1, :], box[dim])
                     acc += dd * dd
+                    if angle:
+                        dds.append(dd)
                 dist = jnp.sqrt(acc)
                 ii = jax.lax.broadcasted_iota(jnp.int32, (rb, N), 0) + r0
                 jj = jax.lax.broadcasted_iota(jnp.int32, (rb, N), 1)
                 valid = jnp.logical_and(dist <= cutbuf, ii != jj)
+                if angle:
+                    # P-O-O angle at donor i: v1 = P(i) - O(i), v2 = O(j)-O(i)
+                    # = -dd; gate angle >= theta <=> dot <= cos(theta)|v1||v2|
+                    dot = jnp.zeros((rb, N), f32)
+                    n1 = jnp.zeros((rb, 1), f32)
+                    for dim in range(3):
+                        v1 = minimg1(
+                            jnp.transpose(pgrp[dim : dim + 1, r0 : r0 + rb])
+                            - jnp.transpose(post[dim : dim + 1, r0 : r0 + rb]),
+                            box[dim],
+                        )  # [rb, 1]
+                        dot = dot - v1 * dds[dim]
+                        n1 = n1 + v1 * v1
+                    gate = dot <= params[3] * jnp.sqrt(n1) * dist
+                    valid = jnp.logical_and(valid, gate)
                 w_scr[r0 : r0 + rb, :] = jnp.where(
                     valid, _apply_law(kind, dist, params), 0.0
                 )
+                if nbins:
+                    dist_scr[r0 : r0 + rb, :] = dist
             W = w_scr[:]
 
             frame_idx = frame0 + f
@@ -299,6 +407,29 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
                 done_scr[:]
             ).astype(jnp.int32)
 
+            if nbins:
+                # Distance-binned exposure of allowed transitions under the
+                # post-event occupancy (engine/lattice.py:339-356): one
+                # [TR, N] x [N, N] MXU matmul per bin —
+                # expo[r, b] += sum_ij occ_i (1-occ_j) [W>0][bin==b][in range]
+                dist_full = dist_scr[:]
+                w_pos = W > 0
+                inr = jnp.logical_and(dist_full >= hist_lo, dist_full < hist_hi)
+                braw = jnp.clip(
+                    ((dist_full - hist_lo) * f32(hist_scale)).astype(jnp.int32),
+                    0, nbins - 1,
+                )
+                occ = occ_out[:]
+                vac = 1.0 - occ
+                base = jnp.logical_and(w_pos, inr)
+                for b in range(nbins):
+                    mask_b = jnp.logical_and(base, braw == b).astype(f32)
+                    tmp = mxu_dot(occ, mask_b)  # [TR, N]
+                    val = jnp.sum(tmp * vac, axis=1, keepdims=True)  # [TR, 1]
+                    expo_out[:] = expo_out[:] + jnp.where(
+                        iota_b == b, val, 0.0
+                    )
+
             _, total = total_rate(W)
             u_out[:] = u_out[:] - total * (f32(dt) - phase_scr[:])
             return 0
@@ -317,7 +448,7 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
     jax.jit,
     static_argnames=(
         "kind", "tile", "max_events", "dt", "seed", "cutbuf", "interpret",
-        "use_bf16",
+        "use_bf16", "nbins", "hist_range", "track_matrix",
     ),
 )
 def kmc_sweep(
@@ -335,6 +466,9 @@ def kmc_sweep(
     frame0,  # scalar i32
     box_lengths,  # [3] f32
     tile_offset=0,  # global index of this shard's first tile (sharded runs)
+    pgrp_positions=None,  # [B, N, 3] grouped heavy-atom positions (angle laws)
+    jump_hist=None,  # [R, nbins] i32 (nbins > 0)
+    exposure=None,  # [R, nbins] f32 (nbins > 0)
     *,
     kind: int,
     tile: int,
@@ -344,20 +478,31 @@ def kmc_sweep(
     cutbuf: float,
     interpret: bool = False,
     use_bf16: bool = False,
+    nbins: int = 0,
+    hist_range: tuple = (2.0, 3.0),
+    track_matrix: bool = False,
 ):
-    """Run the fused sweep over a block. Returns the updated state tuple
-    (occ, labels, sites, tlast, disp_base, u_rem, ev_count, site_disp,
-    prev_pos)."""
+    """Run the fused sweep over a block. Returns a dict of updated state:
+    occ, labels, sites, tlast, disp_base, u_rem, ev_count, site_disp,
+    prev_pos, trunc (+ jump_hist/exposure when nbins > 0, + jump_matrix
+    [N, N] f32 summed over this call's replicas when track_matrix)."""
     B, N, _ = positions.shape
     R = occ.shape[0]
     P = sites.shape[1]
     TR = tile
     assert R % TR == 0, (R, TR)
     grid = (R // TR,)
+    n_tiles = R // TR
+    angle = kind == KIND_FERMI_ANGLE
+    if angle:
+        assert pgrp_positions is not None, "angle law needs grouped positions"
+    if nbins:
+        assert jump_hist is not None and exposure is not None
 
     kernel = _make_kernel(
         n_sites=N, n_protons=P, tile=TR, block=B, max_events=max_events,
         kind=kind, dt=dt, seed=seed, cutbuf=cutbuf, use_bf16=use_bf16,
+        nbins=nbins, hist_range=hist_range, track_matrix=track_matrix,
     )
 
     box = jnp.concatenate(
@@ -384,7 +529,31 @@ def kmc_sweep(
     dby = disp_base[..., 1]
     dbz = disp_base[..., 2]
 
-    out_shapes = (
+    inputs = [
+        box, ints, jnp.asarray(law_params, jnp.float32),
+        post,
+    ]
+    in_specs = [smem(), smem(), smem(), full()]
+    if angle:
+        inputs.append(jnp.swapaxes(jnp.asarray(pgrp_positions, jnp.float32), 1, 2))
+        in_specs.append(full())
+    inputs += [
+        jnp.asarray(prev_pos, jnp.float32).T,
+        jnp.asarray(site_disp, jnp.float32).T,
+        occ, labels, sites.astype(jnp.int32), tlast,
+        dbx, dby, dbz,
+        u_rem.reshape(R, 1), ev_count.reshape(R, 1).astype(jnp.int32),
+    ]
+    in_specs += [
+        full(), full(),
+        rep_spec(N), rep_spec(N), rep_spec(P), rep_spec(P),
+        rep_spec(P), rep_spec(P), rep_spec(P), rep_spec(1), rep_spec(1),
+    ]
+    if nbins:
+        inputs += [jump_hist.astype(jnp.int32), exposure.astype(jnp.float32)]
+        in_specs += [rep_spec(nbins), rep_spec(nbins)]
+
+    out_shapes = [
         jax.ShapeDtypeStruct((R, N), jnp.float32),
         jax.ShapeDtypeStruct((R, N), jnp.float32),
         jax.ShapeDtypeStruct((R, P), jnp.int32),
@@ -397,52 +566,78 @@ def kmc_sweep(
         jax.ShapeDtypeStruct((3, N), jnp.float32),
         jax.ShapeDtypeStruct((3, N), jnp.float32),
         jax.ShapeDtypeStruct((R, 1), jnp.int32),  # truncated-frame count
-    )
-    out_specs = (
+    ]
+    out_specs = [
         rep_spec(N), rep_spec(N), rep_spec(P), rep_spec(P),
         rep_spec(P), rep_spec(P), rep_spec(P), rep_spec(1), rep_spec(1),
         full(), full(), rep_spec(1),
-    )
+    ]
+    if nbins:
+        out_shapes += [
+            jax.ShapeDtypeStruct((R, nbins), jnp.int32),
+            jax.ShapeDtypeStruct((R, nbins), jnp.float32),
+        ]
+        out_specs += [rep_spec(nbins), rep_spec(nbins)]
+    if track_matrix:
+        out_shapes.append(jax.ShapeDtypeStruct((n_tiles, N, N), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, N, N), lambda r: (r, 0, 0), memory_space=pltpu.VMEM)
+        )
+
+    # state inputs alias their outputs (indexing: inputs after box/ints/params/
+    # post [+pgrp] are [prev, s0, occ..evc, hist?, expo?]; outputs 9/10 are
+    # s_out/prev_out)
+    base_in = 4 + (1 if angle else 0)
+    aliases = {base_in: 10, base_in + 1: 9}
+    for i in range(9):  # occ..evc -> outputs 0..8
+        aliases[base_in + 2 + i] = i
+    if nbins:
+        aliases[base_in + 11] = 12
+        aliases[base_in + 12] = 13
+
+    scratch = [
+        pltpu.VMEM((3, N), jnp.float32),  # s_scr
+        pltpu.VMEM((3, N), jnp.float32),  # prev_scr
+        pltpu.VMEM((TR, 1), jnp.float32),  # phase
+        pltpu.VMEM((TR, 1), jnp.bool_),  # done
+        pltpu.VMEM((N, N), jnp.float32),  # w_scr
+    ]
+    if nbins:
+        scratch.append(pltpu.VMEM((N, N), jnp.float32))  # dist_scr
 
     res = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            smem(), smem(), smem(),
-            full(), full(), full(),
-            rep_spec(N), rep_spec(N), rep_spec(P), rep_spec(P),
-            rep_spec(P), rep_spec(P), rep_spec(P), rep_spec(1), rep_spec(1),
-        ],
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((3, N), jnp.float32),  # s_scr
-            pltpu.VMEM((3, N), jnp.float32),  # prev_scr
-            pltpu.VMEM((TR, 1), jnp.float32),  # phase
-            pltpu.VMEM((TR, 1), jnp.bool_),  # done
-            pltpu.VMEM((N, N), jnp.float32),  # w_scr
-        ],
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=scratch,
         # CPU runs use the TPU-semantics interpreter (the plain HLO interpreter
         # has no lowering for the hardware PRNG primitives).
         interpret=pltpu.InterpretParams() if interpret else False,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        input_output_aliases={
-            6: 0, 7: 1, 8: 2, 9: 3, 10: 4, 11: 5, 12: 6, 13: 7, 14: 8,
-            5: 9, 4: 10,
-        },
-    )(
-        box, ints, jnp.asarray(law_params, jnp.float32),
-        post,
-        jnp.asarray(prev_pos, jnp.float32).T,
-        jnp.asarray(site_disp, jnp.float32).T,
-        occ, labels, sites.astype(jnp.int32), tlast,
-        dbx, dby, dbz,
-        u_rem.reshape(R, 1), ev_count.reshape(R, 1).astype(jnp.int32),
-    )
+        input_output_aliases=aliases,
+    )(*inputs)
+
     (occ2, lab2, sites2, tlast2, dbx2, dby2, dbz2, u2, evc2, s2, prev2,
-     trunc2) = res
-    disp_base2 = jnp.stack([dbx2, dby2, dbz2], axis=-1)
-    return (
-        occ2, lab2, sites2, tlast2, disp_base2,
-        u2.reshape(R), evc2.reshape(R), s2.T, prev2.T, trunc2.reshape(R),
-    )
+     trunc2) = res[:12]
+    out = {
+        "occ": occ2,
+        "labels": lab2,
+        "sites": sites2,
+        "tlast": tlast2,
+        "disp_base": jnp.stack([dbx2, dby2, dbz2], axis=-1),
+        "u_rem": u2.reshape(R),
+        "ev_count": evc2.reshape(R),
+        "site_disp": s2.T,
+        "prev_pos": prev2.T,
+        "trunc": trunc2.reshape(R),
+    }
+    idx = 12
+    if nbins:
+        out["jump_hist"] = res[idx]
+        out["exposure"] = res[idx + 1]
+        idx += 2
+    if track_matrix:
+        out["jump_matrix"] = res[idx].sum(axis=0)
+    return out
