@@ -161,6 +161,41 @@ def bootstrap_slope(data, n_boot=200, seed=0, **kw):
     return slopes.mean(), slopes.std()
 
 
+def plot_msd_slope(data, path, *, fit_startpoint=0, length_unit="angstrom",
+                   time_unit="fs"):
+    """Errorbar figure of the interval-averaged summed MSD with the fitted
+    slope line — parity with the reference's --plot surface
+    (average_MC_out.py:190-205). Saved to ``path`` (headless Agg backend)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    time = data[0, :, 1]
+    msd_sum = data[:, :, 2:5].sum(axis=-1)
+    y = msd_sum.mean(axis=0)
+    yerr = msd_sum.std(axis=0)
+    m, m_err, _, _ = fit_slope(
+        data, fit_startpoint=fit_startpoint, average_first=True,
+        length_unit=length_unit, time_unit=time_unit,
+        output_unit=f"{length_unit}**2/{time_unit}",
+    )
+    t_fit = time[fit_startpoint:]
+    coef = np.polyfit(t_fit, y[fit_startpoint:], 1)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    step = max(len(time) // 40, 1)
+    ax.errorbar(time[::step], y[::step], yerr=yerr[::step], fmt="o",
+                ms=3, lw=1, capsize=2, label="interval-averaged MSD")
+    ax.plot(t_fit, np.polyval(coef, t_fit), "-",
+            label=f"fit: m = {m:.4g} ± {m_err:.2g} {length_unit}**2/{time_unit}")
+    ax.set_xlabel(f"time / {time_unit}")
+    ax.set_ylabel(f"MSD / {length_unit}**2")
+    ax.legend(frameon=False)
+    fig.tight_layout()
+    fig.savefig(path, dpi=150)
+    plt.close(fig)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         description="Average KMC output (time in first two columns)"
@@ -180,6 +215,13 @@ def main(argv=None):
     p_slope.add_argument("--msd-fitstart", "-s", type=int, default=0)
     p_slope.add_argument("--output_unit", "-u", default="angstrom**2/ps")
     p_slope.add_argument("--minimal", "-m", action="store_true")
+    p_slope.add_argument(
+        "--plot", nargs="?", const="msd_slope.png", default=None,
+        metavar="FILE",
+        help="Save an errorbar plot of the interval-averaged MSD with the "
+             "fitted slope line (average_MC_out.py:190-205); default "
+             "msd_slope.png",
+    )
 
     p_boot = sub.add_parser("bootstrap", help="Bootstrap MSD slope error")
     p_boot.add_argument("file")
@@ -232,6 +274,12 @@ def main(argv=None):
             print(f"({m} ± {m_err}) {args.output_unit}")
             print("Diffusion coefficient:")
             print(f"({d} ± {d_err}) {args.output_unit}")
+        if args.plot:
+            plot_msd_slope(
+                data, args.plot, fit_startpoint=args.msd_fitstart,
+                length_unit=args.length_unit, time_unit=args.time_unit,
+            )
+            print(f"plot saved to {args.plot}")
     elif args.cmd == "conductivity":
         from cmdlmc_tpu.analysis.units import nernst_einstein_conductivity
 

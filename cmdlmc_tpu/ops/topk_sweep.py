@@ -1,12 +1,630 @@
-"""Fused Pallas sweep kernel over K-nearest neighbor lists (placeholder —
-real kernel lands next)."""
+"""Fused Pallas sweep kernel over K-nearest neighbor lists.
+
+Companion to ops/kmc_sweep.py covering the top-K rate models:
+
+* ``TopKPairRates`` — the reference's Verlet-list option (topology.py:80-114)
+  as a fixed-K neighbor list; the supercell scaling path (no [N, N] rate
+  matrix in VMEM).
+* ``HydroniumRates`` — per-site K closest neighbors with residence-time
+  distance relaxation (topology.py:170-257): the blend factor depends on how
+  long the occupying proton has sat on each donor, so the effective distances
+  are per-replica state and must be re-evaluated inside the event loop.
+
+Two-stage design (TPU-first): the replica-independent geometry — pairwise
+distances, top-K extraction, distance transformation (incl. interpolated
+tables, which XLA evaluates natively via jnp.interp) — runs ONCE per block in
+XLA (:func:`topk_tables`, reusing ``model.shared`` so kernel and scan backends
+share one source of truth), producing [B, KL, N] tables with sites on the lane
+axis. The Pallas kernel then advances a tile of replicas across the block with
+only per-replica work on-chip:
+
+  per frame: K one-hot MXU matmuls refresh occ[nbr_k] (incrementally updated
+  per event afterwards), per event: residence blend -> rate law -> Gumbel
+  argmax per candidate column + K-way max for selection — all [TR, N] vector
+  ops, no [N, N] buffer anywhere.
+
+State kept in the kernel beyond the pair kernel's: ``tlast_site`` [TR, N], the
+last-jump time of the proton occupying each site (-1 = never; stale where
+unoccupied — always consumed under the occupancy mask). RNG/determinism rules
+match kmc_sweep.py.
+"""
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cmdlmc_tpu.ops.kmc_sweep import _apply_law, _mix_key, _u01, law_kind, law_params_array
+from cmdlmc_tpu.topo.models import Frame, HydroniumRates, TopKPairRates
+
+Array = jax.Array
+
+_BIG = 1.0e6
+MAX_K = 16  # candidate-width ceiling (two f32 tile rows)
+
+
+def _pad_k(k: int) -> int:
+    """Sublane-pad the table height to whole f32 tile rows."""
+    return 8 * -(-k // 8)
+
 
 def topk_unsupported_reason(model) -> str | None:
-    return "top-K fused kernel not yet available"
+    """None if the top-K fused kernel can run this model."""
+    if not isinstance(model, (TopKPairRates, HydroniumRates)):
+        return f"{type(model).__name__} is not a top-K rate model"
+    if law_kind(model.law) is None or law_kind(model.law) == 4:
+        return f"rate law {type(model.law).__name__} has no top-K fused kernel"
+    if model.k > MAX_K:
+        return f"k={model.k} exceeds the kernel's candidate width ({MAX_K})"
+    return None
 
 
-def run_block_topk(*args, **kwargs):
-    raise NotImplementedError
+def topk_tables(model, positions_block, kl: int):
+    """Replica-independent per-frame tables from ``model.shared``:
+    (topd, topi, resc), each [B, kl, N] f32 with invalid slots at 1e6.
+    Evaluated in XLA (chunked so the transient [N, N] distance matrices never
+    exceed a few frames' worth of HBM)."""
+
+    def one(pos):
+        frame = Frame(donors=pos, extras=None, time=jnp.float32(0.0),
+                      index=jnp.int32(0))
+        sh = model.shared(frame)  # dist/resc already 1e6 where invalid
+        k = sh.dist.shape[1]
+        pad = [(0, 0), (0, kl - k)]
+        topd = jnp.pad(sh.dist, pad, constant_values=_BIG)
+        resc = jnp.pad(sh.dist_rescaled, pad, constant_values=_BIG)
+        topi = jnp.pad(sh.nbr.astype(jnp.float32), pad, constant_values=0.0)
+        # [N, KL] -> [KL, N]: sites on the lane axis
+        return topd.T, topi.T, resc.T
+
+    return jax.lax.map(one, jnp.asarray(positions_block, jnp.float32),
+                       batch_size=8)
+
+
+def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
+                 dt, seed, has_interp, nbins, hist_range, track_matrix):
+    N, P, TR, B, K = n_sites, n_protons, tile, block, k_cand
+    f32 = jnp.float32
+    hist_lo, hist_hi = float(hist_range[0]), float(hist_range[1])
+    hist_scale = float(nbins) / max(hist_hi - hist_lo, 1e-12)
+
+    def kernel(*refs):
+        it = iter(range(len(refs)))
+        box_ref = refs[next(it)]  # SMEM f32 [4]
+        ints_ref = refs[next(it)]  # SMEM i32 [2]: frame0, tile offset
+        params_ref = refs[next(it)]  # SMEM f32 [8]: law[6] + relax + pad
+        post_ref = refs[next(it)]  # [B, 3, N]
+        topd_ref = refs[next(it)]  # [B, KL, N]
+        topi_ref = refs[next(it)]  # [B, KL, N] (f32 site indices)
+        resc_ref = refs[next(it)]  # [B, KL, N]
+        prev_ref = refs[next(it)]  # [3, N]
+        s0_ref = refs[next(it)]  # [3, N]
+        occ_ref = refs[next(it)]
+        lab_ref = refs[next(it)]
+        site_ref = refs[next(it)]
+        tlast_ref = refs[next(it)]
+        tls_ref = refs[next(it)]  # [TR, N] tlast_site
+        dbx_ref = refs[next(it)]
+        dby_ref = refs[next(it)]
+        dbz_ref = refs[next(it)]
+        u_ref = refs[next(it)]
+        evc_ref = refs[next(it)]
+        hist_ref = refs[next(it)] if nbins else None
+        expo_ref = refs[next(it)] if nbins else None
+        # outputs
+        occ_out = refs[next(it)]
+        lab_out = refs[next(it)]
+        site_out = refs[next(it)]
+        tlast_out = refs[next(it)]
+        tls_out = refs[next(it)]
+        dbx_out = refs[next(it)]
+        dby_out = refs[next(it)]
+        dbz_out = refs[next(it)]
+        u_out = refs[next(it)]
+        evc_out = refs[next(it)]
+        s_out = refs[next(it)]
+        prev_out = refs[next(it)]
+        trunc_out = refs[next(it)]
+        hist_out = refs[next(it)] if nbins else None
+        expo_out = refs[next(it)] if nbins else None
+        jm_out = refs[next(it)] if track_matrix else None
+        # scratch: shared prefix buffers + K per-candidate occupancy gathers
+        s_scr = refs[next(it)]
+        prev_scr = refs[next(it)]
+        phase_scr = refs[next(it)]
+        done_scr = refs[next(it)]
+        occn = [refs[next(it)] for _ in range(K)]  # each [TR, N]
+
+        box = [box_ref[0], box_ref[1], box_ref[2]]
+        frame0 = ints_ref[0]
+        tile_id = pl.program_id(0) + ints_ref[1]
+        params = [params_ref[i] for i in range(6)]
+        relax = params_ref[6]
+
+        occ_out[:] = occ_ref[:]
+        lab_out[:] = lab_ref[:]
+        site_out[:] = site_ref[:]
+        tlast_out[:] = tlast_ref[:]
+        tls_out[:] = tls_ref[:]
+        dbx_out[:] = dbx_ref[:]
+        dby_out[:] = dby_ref[:]
+        dbz_out[:] = dbz_ref[:]
+        u_out[:] = u_ref[:]
+        evc_out[:] = evc_ref[:]
+        trunc_out[:] = jnp.zeros((TR, 1), jnp.int32)
+        if nbins:
+            hist_out[:] = hist_ref[:]
+            expo_out[:] = expo_ref[:]
+        if track_matrix:
+            jm_out[:] = jnp.zeros((1, N, N), f32)
+        s_scr[:] = s0_ref[:]
+        prev_scr[:] = prev_ref[:]
+
+        iota_n = jax.lax.broadcasted_iota(jnp.int32, (TR, N), 1)
+        iota_nn0 = jax.lax.broadcasted_iota(jnp.float32, (N, N), 0)
+        if nbins:
+            iota_b = jax.lax.broadcasted_iota(jnp.int32, (TR, nbins), 1)
+
+        def minimg1(delta, length):
+            return delta - length * jnp.round(delta / length)
+
+        def candidate_rates(tables, frame_time):
+            """K lists of allowed rates [TR, N] under the current state."""
+            topd, topi, resc = tables
+            if has_interp:
+                tls = tls_out[:]
+                res = frame_time - tls
+                ratio = jnp.where(
+                    tls < 0, 1.0, jnp.minimum(res / relax, 1.0)
+                )  # [TR, N]
+            occ = occ_out[:]
+            rates = []
+            for k in range(K):
+                d_k = topd[k : k + 1, :]  # [1, N]
+                r_k = resc[k : k + 1, :]
+                valid = d_k < f32(1e5)
+                if has_interp:
+                    d_eff = d_k + ratio * (r_k - d_k)  # [TR, N]
+                else:
+                    d_eff = r_k
+                d_safe = jnp.minimum(d_eff, 50.0)
+                omega = _apply_law(kind, d_safe, params)
+                a_k = jnp.where(valid, omega, 0.0) * occ * (1.0 - occn[k][:])
+                rates.append(a_k)
+            return rates
+
+        def ev_iter(tables, post, frame_idx, frame_time, ev):
+            topd, topi, resc = tables
+            rates = candidate_rates(tables, frame_time)
+            total = rates[0].sum(axis=1, keepdims=True)
+            for k in range(1, K):
+                total = total + rates[k].sum(axis=1, keepdims=True)
+
+            phase = phase_scr[:]
+            done = done_scr[:]
+            u = u_out[:]
+            budget = total * (f32(dt) - phase)
+            fire = jnp.logical_and(jnp.logical_not(done), u <= budget)
+            fire = jnp.logical_and(fire, budget > 0)
+            safe_total = jnp.where(total > 0, total, 1.0)
+            eph = phase + u / safe_total
+
+            # Gumbel argmax over all K x N candidates: per-candidate-column
+            # Gumbel race, then a K-way max — exactly categorical ~ allowed
+            m_best = None
+            src = None
+            kbest = None
+            for k in range(K):
+                key = _mix_key(seed, tile_id, frame_idx, ev, 21 + k)
+                g = -jnp.log(-jnp.log(_u01(key, (TR, N))))
+                score = jnp.log(rates[k]) + g
+                m_k = jnp.max(score, axis=1, keepdims=True)  # [TR, 1]
+                i_k = jnp.argmax(score, axis=1)[:, None]  # [TR, 1] i32
+                if k == 0:
+                    m_best, src, kbest = m_k, i_k, jnp.zeros((TR, 1), jnp.int32)
+                else:
+                    better = m_k > m_best
+                    m_best = jnp.where(better, m_k, m_best)
+                    src = jnp.where(better, i_k, src)
+                    kbest = jnp.where(better, jnp.int32(k), kbest)
+
+            oh_src = (iota_n == src).astype(f32)
+            dst_f = jnp.zeros((TR, 1), f32)
+            d_evt = jnp.zeros((TR, 1), f32)
+            for k in range(K):
+                sel = (kbest == k).astype(f32)
+                dst_f = dst_f + sel * jnp.sum(
+                    oh_src * topi[k : k + 1, :], axis=1, keepdims=True
+                )
+                d_evt = d_evt + sel * jnp.sum(
+                    oh_src * topd[k : k + 1, :], axis=1, keepdims=True
+                )
+            dst = jnp.round(dst_f).astype(jnp.int32)
+            oh_dst = (iota_n == dst).astype(f32)
+
+            firef = fire.astype(f32)
+            label = jnp.sum(lab_out[:] * oh_src, axis=1, keepdims=True)
+
+            occ_out[:] = occ_out[:] + firef * (oh_dst - oh_src)
+            lab_out[:] = (
+                lab_out[:] * (1.0 - firef * (oh_src + oh_dst))
+                + firef * oh_dst * label
+            )
+
+            moving = jnp.logical_and(site_out[:] == src, fire)  # [TR, P]
+            site_out[:] = jnp.where(moving, dst.astype(jnp.int32), site_out[:])
+            t_event = frame_time + eph
+            tlast_out[:] = jnp.where(moving, t_event, tlast_out[:])
+            # destination site now carries a just-jumped proton; the source
+            # slot goes stale behind the occupancy mask
+            tls_out[:] = jnp.where(
+                jnp.logical_and(oh_dst > 0, fire), t_event, tls_out[:]
+            )
+
+            movingf = moving.astype(f32)
+            db_refs = (dbx_out, dby_out, dbz_out)
+            for dim in range(3):
+                s_col = s_scr[dim : dim + 1, :]
+                p_col = post[dim : dim + 1, :]
+                s_src = jnp.sum(oh_src * s_col, axis=1, keepdims=True)
+                s_dst = jnp.sum(oh_dst * s_col, axis=1, keepdims=True)
+                p_src = jnp.sum(oh_src * p_col, axis=1, keepdims=True)
+                p_dst = jnp.sum(oh_dst * p_col, axis=1, keepdims=True)
+                jump = minimg1(p_dst - p_src, box[dim])
+                db_refs[dim][:] = db_refs[dim][:] + movingf * (
+                    s_src - s_dst + jump
+                )
+
+            # incremental occ[nbr_k] refresh: only src/dst changed occupancy
+            for k in range(K):
+                t_k = topi[k : k + 1, :]
+                occn[k][:] = occn[k][:] + firef * (
+                    (t_k == dst_f).astype(f32) - (t_k == src.astype(f32)).astype(f32)
+                )
+
+            if nbins:
+                inr = jnp.logical_and(d_evt >= hist_lo, d_evt < hist_hi)
+                braw = jnp.clip(
+                    ((d_evt - hist_lo) * f32(hist_scale)).astype(jnp.int32),
+                    0, nbins - 1,
+                )
+                hist_out[:] = hist_out[:] + jnp.logical_and(
+                    jnp.logical_and(iota_b == braw, inr), fire
+                ).astype(jnp.int32)
+            if track_matrix:
+                jm_out[0] = jm_out[0] + jax.lax.dot_general(
+                    firef * oh_src, oh_dst, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            key3 = _mix_key(seed, tile_id, frame_idx, ev, 3)
+            fresh_u = -jnp.log(_u01(key3, (TR, 1)))
+            u_out[:] = jnp.where(fire, fresh_u, u)
+            evc_out[:] = evc_out[:] + fire.astype(jnp.int32)
+            phase_scr[:] = jnp.where(fire, eph, phase)
+            done_scr[:] = jnp.logical_or(done, jnp.logical_not(fire))
+
+        def frame_body(f, _):
+            post = post_ref[f]  # [3, N]
+            tables = (topd_ref[f], topi_ref[f], resc_ref[f])
+            topd, topi, resc = tables
+
+            for dim in range(3):
+                d = minimg1(
+                    post[dim : dim + 1, :] - prev_scr[dim : dim + 1, :], box[dim]
+                )
+                s_scr[dim : dim + 1, :] = s_scr[dim : dim + 1, :] + d
+            prev_scr[:] = post
+
+            # occ[nbr_k] via one-hot MXU gather: G_k[j, i] = (j == nbr_k[i])
+            occ = occ_out[:]
+            for k in range(K):
+                g_k = (iota_nn0 == topi[k : k + 1, :]).astype(f32)  # [N, N]
+                occn[k][:] = jax.lax.dot_general(
+                    occ, g_k, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            frame_idx = frame0 + f
+            frame_time = frame_idx.astype(f32) * f32(dt)
+
+            phase_scr[:] = jnp.zeros((TR, 1), f32)
+            done_scr[:] = jnp.zeros((TR, 1), jnp.bool_)
+
+            ev_iter(tables, post, frame_idx, frame_time, 0)
+            for ev in range(1, max_events):
+                any_live = jnp.sum(
+                    jnp.logical_not(done_scr[:]).astype(jnp.int32)
+                ) > 0
+
+                @pl.when(any_live)
+                def _(ev=ev):
+                    ev_iter(tables, post, frame_idx, frame_time, ev)
+
+            trunc_out[:] = trunc_out[:] + jnp.logical_not(
+                done_scr[:]
+            ).astype(jnp.int32)
+
+            if nbins:
+                # distance-binned exposure of allowed transitions under the
+                # post-event state (engine/lattice.py:339-356)
+                rates = candidate_rates(tables, frame_time)
+                for k in range(K):
+                    d_k = topd[k : k + 1, :]
+                    inr = jnp.logical_and(d_k >= hist_lo, d_k < hist_hi)
+                    braw = jnp.clip(
+                        ((d_k - hist_lo) * f32(hist_scale)).astype(jnp.int32),
+                        0, nbins - 1,
+                    )  # [1, N]
+                    w = jnp.where(
+                        jnp.logical_and(rates[k] > 0, inr), 1.0, 0.0
+                    )  # [TR, N]
+                    for b in range(nbins):
+                        val = jnp.sum(
+                            jnp.where(braw == b, w, 0.0), axis=1, keepdims=True
+                        )
+                        expo_out[:] = expo_out[:] + jnp.where(
+                            iota_b == b, val, 0.0
+                        )
+
+            rates = candidate_rates(tables, frame_time)
+            total = rates[0].sum(axis=1, keepdims=True)
+            for k in range(1, K):
+                total = total + rates[k].sum(axis=1, keepdims=True)
+            u_out[:] = u_out[:] - total * (f32(dt) - phase_scr[:])
+            return 0
+
+        jax.lax.fori_loop(0, B, frame_body, 0)
+
+        @pl.when(tile_id == 0)
+        def _():
+            s_out[:] = s_scr[:]
+            prev_out[:] = prev_scr[:]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "kind", "k_cand", "tile", "max_events", "dt", "seed", "has_interp",
+        "interpret", "nbins", "hist_range", "track_matrix",
+    ),
+)
+def topk_sweep(
+    positions,  # [B, N, 3]
+    topd, topi, resc,  # [B, KL, N]
+    prev_pos, site_disp,  # [N, 3]
+    occ, labels,  # [R, N]
+    sites, tlast,  # [R, P]
+    tlast_site,  # [R, N]
+    disp_base,  # [R, P, 3]
+    u_rem, ev_count,  # [R]
+    law_params,  # [8]: law[6] + relaxation_time + pad
+    frame0, box_lengths, tile_offset=0,
+    jump_hist=None, exposure=None,
+    *,
+    kind: int, k_cand: int, tile: int, max_events: int, dt: float, seed: int,
+    has_interp: bool, interpret: bool = False, nbins: int = 0,
+    hist_range: tuple = (2.0, 3.0), track_matrix: bool = False,
+):
+    """Run the fused top-K sweep over a block; returns the same dict as
+    ops.kmc_sweep.kmc_sweep plus ``tlast_site``."""
+    B, N, _ = positions.shape
+    R = occ.shape[0]
+    P = sites.shape[1]
+    TR = tile
+    assert R % TR == 0, (R, TR)
+    grid = (R // TR,)
+    n_tiles = R // TR
+
+    kernel = _make_kernel(
+        n_sites=N, n_protons=P, tile=TR, block=B, max_events=max_events,
+        kind=kind, k_cand=k_cand, dt=dt, seed=seed, has_interp=has_interp,
+        nbins=nbins, hist_range=hist_range, track_matrix=track_matrix,
+    )
+
+    box = jnp.concatenate([
+        jnp.asarray(box_lengths, jnp.float32).reshape(3),
+        jnp.zeros(1, jnp.float32),
+    ])
+    ints = jnp.stack([
+        jnp.asarray(frame0, jnp.int32), jnp.asarray(tile_offset, jnp.int32)
+    ])
+    post = jnp.swapaxes(jnp.asarray(positions, jnp.float32), 1, 2)
+
+    def rep_spec(*shape):
+        return pl.BlockSpec(
+            (TR, *shape), lambda r: (r,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    dbx = disp_base[..., 0]
+    dby = disp_base[..., 1]
+    dbz = disp_base[..., 2]
+
+    inputs = [
+        box, ints, jnp.asarray(law_params, jnp.float32),
+        post, topd, topi, resc,
+        jnp.asarray(prev_pos, jnp.float32).T,
+        jnp.asarray(site_disp, jnp.float32).T,
+        occ, labels, sites.astype(jnp.int32), tlast,
+        jnp.asarray(tlast_site, jnp.float32),
+        dbx, dby, dbz,
+        u_rem.reshape(R, 1), ev_count.reshape(R, 1).astype(jnp.int32),
+    ]
+    in_specs = [
+        smem(), smem(), smem(),
+        full(), full(), full(), full(),
+        full(), full(),
+        rep_spec(N), rep_spec(N), rep_spec(P), rep_spec(P),
+        rep_spec(N),
+        rep_spec(P), rep_spec(P), rep_spec(P), rep_spec(1), rep_spec(1),
+    ]
+    if nbins:
+        inputs += [jump_hist.astype(jnp.int32), exposure.astype(jnp.float32)]
+        in_specs += [rep_spec(nbins), rep_spec(nbins)]
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((R, N), jnp.float32),   # occ
+        jax.ShapeDtypeStruct((R, N), jnp.float32),   # labels
+        jax.ShapeDtypeStruct((R, P), jnp.int32),     # sites
+        jax.ShapeDtypeStruct((R, P), jnp.float32),   # tlast
+        jax.ShapeDtypeStruct((R, N), jnp.float32),   # tlast_site
+        jax.ShapeDtypeStruct((R, P), jnp.float32),   # dbx
+        jax.ShapeDtypeStruct((R, P), jnp.float32),   # dby
+        jax.ShapeDtypeStruct((R, P), jnp.float32),   # dbz
+        jax.ShapeDtypeStruct((R, 1), jnp.float32),   # u
+        jax.ShapeDtypeStruct((R, 1), jnp.int32),     # evc
+        jax.ShapeDtypeStruct((3, N), jnp.float32),   # site_disp
+        jax.ShapeDtypeStruct((3, N), jnp.float32),   # prev
+        jax.ShapeDtypeStruct((R, 1), jnp.int32),     # trunc
+    ]
+    out_specs = [
+        rep_spec(N), rep_spec(N), rep_spec(P), rep_spec(P), rep_spec(N),
+        rep_spec(P), rep_spec(P), rep_spec(P), rep_spec(1), rep_spec(1),
+        full(), full(), rep_spec(1),
+    ]
+    if nbins:
+        out_shapes += [
+            jax.ShapeDtypeStruct((R, nbins), jnp.int32),
+            jax.ShapeDtypeStruct((R, nbins), jnp.float32),
+        ]
+        out_specs += [rep_spec(nbins), rep_spec(nbins)]
+    if track_matrix:
+        out_shapes.append(jax.ShapeDtypeStruct((n_tiles, N, N), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, N, N), lambda r: (r, 0, 0), memory_space=pltpu.VMEM)
+        )
+
+    # aliases: inputs 7..18 (prev, s0, occ..evc incl. tls) onto their outputs
+    aliases = {
+        7: 11,   # prev -> prev_out
+        8: 10,   # s0 -> s_out
+        9: 0, 10: 1, 11: 2, 12: 3, 13: 4,  # occ, lab, site, tlast, tls
+        14: 5, 15: 6, 16: 7, 17: 8, 18: 9,  # dbx, dby, dbz, u, evc
+    }
+    if nbins:
+        aliases[19] = 13
+        aliases[20] = 14
+
+    scratch = [
+        pltpu.VMEM((3, N), jnp.float32),  # s_scr
+        pltpu.VMEM((3, N), jnp.float32),  # prev_scr
+        pltpu.VMEM((TR, 1), jnp.float32),  # phase
+        pltpu.VMEM((TR, 1), jnp.bool_),  # done
+    ] + [pltpu.VMEM((TR, N), jnp.float32) for _ in range(k_cand)]  # occn
+
+    res = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=scratch,
+        interpret=pltpu.InterpretParams() if interpret else False,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        input_output_aliases=aliases,
+    )(*inputs)
+
+    (occ2, lab2, sites2, tlast2, tls2, dbx2, dby2, dbz2, u2, evc2, s2, prev2,
+     trunc2) = res[:13]
+    out = {
+        "occ": occ2,
+        "labels": lab2,
+        "sites": sites2,
+        "tlast": tlast2,
+        "tlast_site": tls2,
+        "disp_base": jnp.stack([dbx2, dby2, dbz2], axis=-1),
+        "u_rem": u2.reshape(R),
+        "ev_count": evc2.reshape(R),
+        "site_disp": s2.T,
+        "prev_pos": prev2.T,
+        "trunc": trunc2.reshape(R),
+    }
+    idx = 13
+    if nbins:
+        out["jump_hist"] = res[idx]
+        out["exposure"] = res[idx + 1]
+        idx += 2
+    if track_matrix:
+        out["jump_matrix"] = res[idx].sum(axis=0)
+    return out
+
+
+def _entry_tlast_site(rep):
+    """[R, N] last-jump time of the occupying proton (-1 where unoccupied or
+    never jumped) — recomputed at every block entry, so it never needs to be
+    checkpointed."""
+    p_idx = jnp.maximum(rep.proton_of_site - 1, 0)  # [R, N]
+    tls = jnp.take_along_axis(rep.t_last_jump, p_idx, axis=1)
+    occupied = rep.occ > 0
+    return jnp.where(occupied & (tls >= 0), tls, -1.0)
+
+
+def run_block_topk(
+    model,
+    ens,
+    frames_positions,
+    frame0: int,
+    *,
+    dt: float,
+    max_events: int = 4,
+    seed: int = 0,
+    tile: int,
+    interpret: bool = False,
+    tile_offset=0,
+    hist_range: tuple = (2.0, 3.0),
+):
+    """EnsembleState adapter: stage-1 XLA tables + stage-2 Pallas sweep.
+    Returns the kmc_sweep-style output dict."""
+    rep = ens.replicas
+    nbins = rep.jump_hist.shape[-1]
+    track_matrix = rep.jump_matrix.shape[-1] != 0
+    positions = jnp.asarray(frames_positions, jnp.float32)
+    k_cand = min(int(model.k), positions.shape[1] - 1)
+    topd, topi, resc = topk_tables(model, positions, _pad_k(k_cand))
+    relax = jnp.float32(0.0)
+    has_interp = isinstance(model, HydroniumRates) and model.interpolator is not None
+    if has_interp:
+        relax = jnp.float32(model.interpolator.relaxation_time)
+    params = jnp.concatenate([
+        law_params_array(model.law),
+        jnp.stack([relax, jnp.float32(0.0)]),
+    ])
+    return topk_sweep(
+        positions, topd, topi, resc,
+        ens.prev_pos, ens.site_disp,
+        rep.occ,
+        rep.proton_of_site.astype(jnp.float32),
+        rep.site_of_proton,
+        rep.t_last_jump,
+        _entry_tlast_site(rep),
+        rep.disp_base,
+        rep.clock.u_remaining,
+        rep.clock.event_count,
+        params,
+        jnp.int32(frame0),
+        jnp.diagonal(model.cell.h),
+        tile_offset,
+        jump_hist=rep.jump_hist if nbins else None,
+        exposure=rep.opportunity_hist if nbins else None,
+        kind=law_kind(model.law),
+        k_cand=k_cand,
+        tile=tile,
+        max_events=max_events,
+        dt=float(dt),
+        seed=int(seed),
+        has_interp=bool(has_interp),
+        interpret=bool(interpret),
+        nbins=nbins,
+        hist_range=tuple(hist_range),
+        track_matrix=track_matrix,
+    )

@@ -132,3 +132,14 @@ def test_load_intervals_tolerates_noise_lines():
     lines.insert(9, "1 2 3\n")  # wrong column count
     data = load_intervals(lines)
     assert data.shape == (5, 20, 7)
+
+
+def test_cli_slope_plot(tmp_path, capsys):
+    from cmdlmc_tpu.analysis.average import main
+
+    out_file = tmp_path / "kmc.out"
+    out_file.write_text("".join(synth_output(slope=0.12, noise=0.3)))
+    fig = tmp_path / "msd.png"
+    main(["slope", str(out_file), "--plot", str(fig)])
+    assert fig.exists() and fig.stat().st_size > 1000  # a real PNG
+    assert "plot saved" in capsys.readouterr().out
