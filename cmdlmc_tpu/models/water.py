@@ -194,38 +194,36 @@ def water_frame_step(
     shared = water_shared(model, positions)
 
     aux = (state.site, state.last_site, state.frames_since_jump,
-           state.wait_left, state.jumps)
+           state.wait_left, state.jumps, state.correction)
 
     def rate_fn(aux):
-        site, last_site, fsj, wait_left, jumps = aux
+        site, last_site, fsj, wait_left, jumps, corr = aux
         rates, _ = _candidates(model, shared, (site, last_site, fsj, wait_left))
         return rates.sum()
 
     def apply_fn(aux, event_key, event_phase):
-        site, last_site, fsj, wait_left, jumps = aux
+        site, last_site, fsj, wait_left, jumps, corr = aux
         rates, cands = _candidates(model, shared, (site, last_site, fsj, wait_left))
         choice = jax.random.categorical(event_key, jnp.log(rates))
         new_site = cands[choice]
+        # d_OH correction PER EVENT (PositionTracker, excess_kmc.py:265-277):
+        # the proton lands 2 d_OH short of the full O-O step, so the
+        # correction points from the NEW oxygen back toward the OLD one
+        # (the reference computes atombox.distance(new, old) = old - new).
+        # Applied inside the event loop so multi-event frames accumulate one
+        # step per jump — exact, no folding approximation.
+        vec = cell_displacement(model.cell, positions[new_site], positions[site])
+        norm = jnp.sqrt(jnp.sum(vec * vec)) + 1e-12
+        corr = corr + 2.0 * model.d_oh * vec / norm
         return (new_site, site, jnp.int32(0),
-                jnp.int32(model.waiting_time), jumps + 1)
+                jnp.int32(model.waiting_time), jumps + 1, corr)
 
     new_clock, aux, n_fired = kmc_clock.frame_step(
         state.clock, aux,
         frame_idx=frame_idx, dt=dt,
         rate_fn=rate_fn, apply_fn=apply_fn, key=key, max_events=max_events,
     )
-    site, last_site, fsj, wait_left, jumps = aux
-
-    # d_OH correction: accumulate 2 d_OH along old -> new for each jump this
-    # frame (PositionTracker, excess_kmc.py:265-277). Multiple jumps per frame
-    # are folded into one step along the net old -> new direction.
-    jumped = jumps > state.jumps
-    corr = state.correction
-    vec = cell_displacement(
-        model.cell, positions[site], positions[jnp.maximum(state.site, 0)]
-    )
-    norm = jnp.sqrt(jnp.sum(vec * vec)) + 1e-12
-    corr = jnp.where(jumped, corr + 2.0 * model.d_oh * vec / norm, corr)
+    site, last_site, fsj, wait_left, jumps, corr = aux
 
     # per-frame counters
     fsj = fsj + 1

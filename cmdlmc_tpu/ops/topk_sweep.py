@@ -165,7 +165,7 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
         prev_scr[:] = prev_ref[:]
 
         iota_n = jax.lax.broadcasted_iota(jnp.int32, (TR, N), 1)
-        iota_nn0 = jax.lax.broadcasted_iota(jnp.float32, (N, N), 0)
+        iota_nn0 = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
         if nbins:
             iota_b = jax.lax.broadcasted_iota(jnp.int32, (TR, nbins), 1)
 
@@ -323,7 +323,9 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
             # occ[nbr_k] via one-hot MXU gather: G_k[j, i] = (j == nbr_k[i])
             occ = occ_out[:]
             for k in range(K):
-                g_k = (iota_nn0 == topi[k : k + 1, :]).astype(f32)  # [N, N]
+                g_k = (
+                    iota_nn0 == topi[k : k + 1, :].astype(jnp.int32)
+                ).astype(f32)  # [N, N]
                 occn[k][:] = jax.lax.dot_general(
                     occ, g_k, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,

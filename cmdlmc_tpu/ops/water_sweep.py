@@ -193,9 +193,12 @@ def _make_kernel(*, n_sites, tile, block, k_atoms, kind, tkind, dt, seed,
 
             a_out[:] = a_out[:] + firef * (s_old - s_new + jump)
             if d_oh != 0.0:
+                # correction points new -> old: the proton lands 2 d_OH short
+                # of the full O-O step (PositionTracker computes
+                # atombox.distance(new, old) = old - new, excess_kmc.py:265-277)
                 norm2 = jnp.sum(jump * jump, axis=1, keepdims=True)
                 inv = jax.lax.rsqrt(jnp.maximum(norm2, 1e-12))
-                corr_out[:] = corr_out[:] + firef * (2.0 * f32(d_oh)) * jump * inv
+                corr_out[:] = corr_out[:] - firef * (2.0 * f32(d_oh)) * jump * inv
 
             last_out[:] = jnp.where(fire, site, last)
             site_out[:] = jnp.where(fire, dst, site)

@@ -160,3 +160,57 @@ def test_msd_grows_linearly():
     # random walk: msd at 4000 frames ~ 2x msd at 2000 frames (within noise)
     ratio = msd_sum[3999] / msd_sum[1999]
     assert 1.4 < ratio < 2.8
+
+
+def test_doh_per_event_exact_on_dimer_at_high_rate():
+    """VERDICT round-1 item 9: d_OH corrections are applied PER EVENT (no
+    multi-event folding). On a two-site dimer every jump reverses direction,
+    so after j jumps the correction is exactly 0 (j even) or
+    2*d_oh*unit(new->old) (j odd) — a property the folded approximation
+    violates as soon as two jumps land in one frame. Run hot (a*dt = 0.5,
+    many multi-event frames) to exercise exactly that regime."""
+    d_oh = 0.3
+    # 4 sites, but a steep Fermi law makes only the 2.5 A pair active:
+    # effectively a dimer, while keeping n_atoms=3 neighbor slots legal
+    model = make_model(law=Fermi(a=jnp.float32(1.0), b=jnp.float32(3.0),
+                                 c=jnp.float32(0.05)),
+                       d_oh=jnp.float32(d_oh), n_atoms=3)
+    pos = jnp.asarray([[0.0, 0.0, 0.0], [2.5, 0.0, 0.0],
+                       [25.0, 0.0, 0.0], [27.5, 0.0, 0.0]], jnp.float32)
+    states, sites, _ = run(model, pos, 200, 32, dt=0.5, start=0)
+    jumps = np.asarray(states.jumps)
+    site = np.asarray(states.site)
+    corr = np.asarray(states.correction)
+    events = np.asarray(states.clock.event_count)
+    # hot regime: some frames carried more than one event
+    assert events.mean() > 80  # ~0.5 events/frame over 200 frames
+    for r in range(32):
+        if jumps[r] % 2 == 0:
+            assert site[r] == 0
+            np.testing.assert_allclose(corr[r], 0.0, atol=2e-3)
+        else:
+            assert site[r] == 1
+            # proton sits at site 1; correction points back toward site 0
+            np.testing.assert_allclose(
+                corr[r], [-2 * d_oh, 0.0, 0.0], atol=2e-3
+            )
+
+
+def test_doh_correction_sign_shortens_steps():
+    """The corrected proton step is (O-O) - 2*d_oh, never (O-O) + 2*d_oh:
+    after one jump of length 2.5 the tracked position moved 1.9, not 3.1
+    (PositionTracker semantics, excess_kmc.py:265-277)."""
+    d_oh = 0.3
+    model = make_model(law=Fermi(a=jnp.float32(0.02), b=jnp.float32(3.0),
+                                 c=jnp.float32(0.05)),
+                       d_oh=jnp.float32(d_oh), n_atoms=3)
+    pos = jnp.asarray([[0.0, 0.0, 0.0], [2.5, 0.0, 0.0],
+                       [25.0, 0.0, 0.0], [27.5, 0.0, 0.0]], jnp.float32)
+    states, sites, _ = run(model, pos, 40, 64, dt=0.5, start=0)
+    jumps = np.asarray(states.jumps)
+    disp = np.asarray(states.displacement)
+    one = jumps == 1
+    assert one.sum() > 5
+    np.testing.assert_allclose(
+        np.abs(disp[one][:, 0]), 2.5 - 2 * d_oh, atol=2e-3
+    )

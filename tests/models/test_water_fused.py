@@ -156,3 +156,38 @@ def test_fused_chunk_invariance():
     np.testing.assert_allclose(
         np.asarray(full.displacement), np.asarray(resumed.displacement), atol=1e-5
     )
+
+
+def test_doh_correction_matches_scan_backend():
+    """d_OH corrections on the fused kernel: exact per-event new->old steps,
+    same dimer law as the scan test — after j jumps |corr| is 0 (even) or
+    2*d_oh (odd, pointing back toward the other oxygen)."""
+    d_oh = 0.3
+    model = make_model(
+        law=Fermi(a=jnp.float32(0.4), b=jnp.float32(3.0), c=jnp.float32(0.05)),
+        d_oh=jnp.float32(d_oh),
+    )
+    pos = np.asarray([[0.0, 0.0, 0.0], [2.5, 0.0, 0.0],
+                      [15.0, 0.0, 0.0], [17.5, 0.0, 0.0]], np.float32)
+    R, F = 32, 150
+    states, _ = init(model, pos, R)
+    out, s, prev = run_fused(model, states, pos, F, R)
+    jumps = np.asarray(out.jumps)
+    site = np.asarray(out.site)
+    corr = np.asarray(out.correction)
+    disp = np.asarray(out.displacement)
+    assert (jumps > 3).any()
+    for r in range(R):
+        pair = 0 if site[r] in (0, 1) else 2  # proton stays in its dimer
+        if jumps[r] % 2 == 0:
+            np.testing.assert_allclose(corr[r], 0.0, atol=2e-3)
+            np.testing.assert_allclose(disp[r], 0.0, atol=2e-3)
+        else:
+            sign = -1.0 if site[r] in (1, 3) else 1.0
+            np.testing.assert_allclose(
+                corr[r], [sign * 2 * d_oh, 0.0, 0.0], atol=2e-3
+            )
+            # net displacement shortened by the correction: 2.5 - 0.6
+            np.testing.assert_allclose(
+                np.abs(disp[r][0]), 2.5 - 2 * d_oh, atol=2e-3
+            )
