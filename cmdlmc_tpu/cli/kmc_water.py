@@ -42,6 +42,13 @@ def kmc_water_main(settings, out=None):
     # probability and feeds frame-probabilities to the clock
     # (excess_kmc.py:398-401); our clock integrates rate * dt itself, so 'a'
     # stays a rate in fs^-1.
+    missing = [k for k in ("a", "b", "c") if k not in p]
+    if missing:
+        raise ValueError(
+            "jumprate_params_fs must provide Fermi parameters a, b and c "
+            f"(e.g. 'jumprate_params_fs a=0.06 b=2.3 c=0.1'); missing: "
+            f"{', '.join(missing)}"
+        )
     law = Fermi(a=jnp.float32(p["a"]), b=jnp.float32(p["b"]), c=jnp.float32(p["c"]))
 
     transform = None

@@ -180,7 +180,13 @@ def load_configfile(path_or_file, config_name: str = "cMDLMC") -> SimpleNamespac
         if key not in keys:
             raise KeyError(f"Unknown keyword {key!r} on line {lineno}")
         parse, _ = keys[key]
-        settings[key] = None if args == ["None"] else parse(args)
+        try:
+            settings[key] = None if args == ["None"] else parse(args)
+        except (IndexError, ValueError) as exc:
+            raise ValueError(
+                f"Keyword {key!r} on line {lineno} needs a value "
+                f"(got {' '.join(args)!r}): {exc}"
+            ) from exc
     for k, (parse, default) in keys.items():
         if k not in settings:
             if default is NO_DEFAULT:

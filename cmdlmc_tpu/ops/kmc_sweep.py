@@ -13,9 +13,11 @@ reference's deleted Cython LMC sweep engine, SURVEY.md §2 native component #4):
        symmetric column-sum trick, so no transposed copy is ever built)
     2. outgoing-rate vector  out = (1 - occ) @ W       -> MXU
     3. KMC clock arithmetic (budget vs exponential draw)
-    4. two-stage transition selection via Gumbel-argmax with the TPU's
-       hardware PRNG (source ~ allowed row rate; the row gather is a
-       one-hot MXU matmul; destination ~ row entry x vacancy)
+    4. two-stage transition selection via an exponential race
+       (argmax rate/E with E ~ Exp(1): P(i wins) = rate_i / sum rates,
+       one log per draw instead of Gumbel's three; source ~ allowed row
+       rate, the row gather is a one-hot MXU matmul, destination ~ row
+       entry x vacancy)
     5. occupancy / proton-label / residence-time / displacement updates as
        one-hot masked vector ops — no scalar gathers or scatters anywhere
     6. shared site-displacement prefix sum for O(events) MSD bookkeeping
@@ -210,6 +212,7 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
         phase_scr = refs[next(it)]
         done_scr = refs[next(it)]
         w_scr = refs[next(it)]
+        coord_scr = refs[next(it)]  # [N, 8]: cols s_xyz | post_xyz | pad
         dist_scr = refs[next(it)] if nbins else None  # [N, N] raw distances
 
         box = [box_ref[0], box_ref[1], box_ref[2]]
@@ -272,16 +275,19 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
             safe_total = jnp.where(total > 0, total, 1.0)
             eph = phase + u / safe_total
 
+            # exponential race: argmax r_i / E_i with E_i = -log(u_i) iid
+            # Exp(1) picks i with probability r_i / sum(r) (argmin of the
+            # arrival times E_i / r_i) — one transcendental per draw
             key1 = _mix_key(seed, tile_id, frame_idx, ev, 1)
-            g1 = -jnp.log(-jnp.log(_u01(key1, (TR, N))))
-            src = jnp.argmax(jnp.log(row) + g1, axis=1)  # [TR]
+            e1 = -jnp.log(_u01(key1, (TR, N)))
+            src = jnp.argmax(row / e1, axis=1)  # [TR]
             oh_src = (iota_n == src[:, None]).astype(f32)
             srcrow = mxu_dot(oh_src, W)
             vac = 1.0 - occ_out[:]
             w2 = srcrow * vac
             key2 = _mix_key(seed, tile_id, frame_idx, ev, 2)
-            g2 = -jnp.log(-jnp.log(_u01(key2, (TR, N))))
-            dst = jnp.argmax(jnp.log(w2) + g2, axis=1)
+            e2 = -jnp.log(_u01(key2, (TR, N)))
+            dst = jnp.argmax(w2 / e2, axis=1)
             oh_dst = (iota_n == dst[:, None]).astype(f32)
 
             firef = fire.astype(f32)  # [TR, 1]
@@ -301,14 +307,23 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
 
             movingf = moving.astype(f32)
             db_refs = (dbx_out, dby_out, dbz_out)
+            # coordinate gathers as two [TR, N] x [N, 8] MXU matmuls against
+            # the per-frame coordinate matrix (cols: s_xyz, post_xyz) instead
+            # of 12 masked lane reductions; always f32 — one-hot x coords is
+            # an exact gather, bf16 would round the positions themselves
+            cdims = (((1,), (0,)), ((), ()))
+            g_src = jax.lax.dot_general(
+                oh_src, coord_scr[:], cdims, preferred_element_type=f32
+            )  # [TR, 8]
+            g_dst = jax.lax.dot_general(
+                oh_dst, coord_scr[:], cdims, preferred_element_type=f32
+            )
             jump_sq = jnp.zeros((TR, 1), f32)
             for dim in range(3):
-                s_col = s_scr[dim : dim + 1, :]  # [1, N]
-                p_col = post[dim : dim + 1, :]
-                s_src = jnp.sum(oh_src * s_col, axis=1, keepdims=True)
-                s_dst = jnp.sum(oh_dst * s_col, axis=1, keepdims=True)
-                p_src = jnp.sum(oh_src * p_col, axis=1, keepdims=True)
-                p_dst = jnp.sum(oh_dst * p_col, axis=1, keepdims=True)
+                s_src = g_src[:, dim : dim + 1]
+                s_dst = g_dst[:, dim : dim + 1]
+                p_src = g_src[:, 3 + dim : 4 + dim]
+                p_dst = g_dst[:, 3 + dim : 4 + dim]
                 jump = minimg1(p_dst - p_src, box[dim])
                 jump_sq = jump_sq + jump * jump
                 db_refs[dim][:] = db_refs[dim][:] + movingf * (
@@ -346,6 +361,12 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
                 )
                 s_scr[dim : dim + 1, :] = s_scr[dim : dim + 1, :] + d
             prev_scr[:] = post
+            # per-frame coordinate matrix for the event loop's MXU gathers
+            coord_scr[:] = jnp.transpose(
+                jnp.concatenate(
+                    [s_scr[:], post, jnp.zeros((2, N), f32)], axis=0
+                )
+            )
 
             # Build W row-chunk by row-chunk in the scratch: temporaries stay
             # [RB, N]-sized, so VMEM peak ~ one [N, N] buffer even for
@@ -601,6 +622,7 @@ def kmc_sweep(
         pltpu.VMEM((TR, 1), jnp.float32),  # phase
         pltpu.VMEM((TR, 1), jnp.bool_),  # done
         pltpu.VMEM((N, N), jnp.float32),  # w_scr
+        pltpu.VMEM((N, 8), jnp.float32),  # coord_scr
     ]
     if nbins:
         scratch.append(pltpu.VMEM((N, N), jnp.float32))  # dist_scr

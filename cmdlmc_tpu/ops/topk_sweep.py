@@ -19,9 +19,11 @@ axis. The Pallas kernel then advances a tile of replicas across the block with
 only per-replica work on-chip:
 
   per frame: K one-hot MXU matmuls refresh occ[nbr_k] (incrementally updated
-  per event afterwards), per event: residence blend -> rate law -> Gumbel
-  argmax per candidate column + K-way max for selection — all [TR, N] vector
-  ops, no [N, N] buffer anywhere.
+  per event afterwards), per event: residence blend -> rate law (precomputed
+  in stage 1 unless it depends on per-replica residence times) -> two-stage
+  exponential-race selection (slot ~ per-slot totals over [TR, K], then one
+  [TR, N] race within the slot) — all [TR, N] vector ops, no [N, N] buffer
+  anywhere.
 
 State kept in the kernel beyond the pair kernel's: ``tlast_site`` [TR, N], the
 last-jump time of the proton occupying each site (-1 = never; stale where
@@ -63,11 +65,18 @@ def topk_unsupported_reason(model) -> str | None:
     return None
 
 
-def topk_tables(model, positions_block, kl: int):
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def topk_tables(model, positions_block, kl: int, precompute_law: bool = False):
     """Replica-independent per-frame tables from ``model.shared``:
     (topd, topi, resc), each [B, kl, N] f32 with invalid slots at 1e6.
     Evaluated in XLA (chunked so the transient [N, N] distance matrices never
-    exceed a few frames' worth of HBM)."""
+    exceed a few frames' worth of HBM). Jitted: lax.map outside jit would
+    dispatch each chunk as a separate device call (tunnel round trips).
+
+    With ``precompute_law`` the third table carries the rate law already
+    applied to the rescaled distance (0 at invalid slots) — replica-independent
+    when there is no residence-time interpolation, so the kernel's event loop
+    never evaluates a transcendental law at all."""
 
     def one(pos):
         frame = Frame(donors=pos, extras=None, time=jnp.float32(0.0),
@@ -77,6 +86,9 @@ def topk_tables(model, positions_block, kl: int):
         pad = [(0, 0), (0, kl - k)]
         topd = jnp.pad(sh.dist, pad, constant_values=_BIG)
         resc = jnp.pad(sh.dist_rescaled, pad, constant_values=_BIG)
+        if precompute_law:
+            omega = model.law(jnp.minimum(resc, 50.0))
+            resc = jnp.where(topd < 1.0e5, omega, 0.0)
         topi = jnp.pad(sh.nbr.astype(jnp.float32), pad, constant_values=0.0)
         # [N, KL] -> [KL, N]: sites on the lane axis
         return topd.T, topi.T, resc.T
@@ -137,6 +149,7 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
         prev_scr = refs[next(it)]
         phase_scr = refs[next(it)]
         done_scr = refs[next(it)]
+        coord_scr = refs[next(it)]  # [N, 8]: cols s_xyz | post_xyz | pad
         occn = [refs[next(it)] for _ in range(K)]  # each [TR, N]
 
         box = [box_ref[0], box_ref[1], box_ref[2]]
@@ -173,7 +186,11 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
             return delta - length * jnp.round(delta / length)
 
         def candidate_rates(tables, frame_time):
-            """K lists of allowed rates [TR, N] under the current state."""
+            """K lists of allowed rates [TR, N] under the current state.
+            Without residence-time interpolation the resc table already holds
+            the law-applied rate (0 at invalid slots, see topk_tables), so this
+            is pure multiplies; with it the law runs in-kernel on the blended
+            per-replica distance."""
             topd, topi, resc = tables
             if has_interp:
                 tls = tls_out[:]
@@ -184,25 +201,26 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
             occ = occ_out[:]
             rates = []
             for k in range(K):
-                d_k = topd[k : k + 1, :]  # [1, N]
                 r_k = resc[k : k + 1, :]
-                valid = d_k < f32(1e5)
                 if has_interp:
+                    d_k = topd[k : k + 1, :]  # [1, N]
+                    valid = d_k < f32(1e5)
                     d_eff = d_k + ratio * (r_k - d_k)  # [TR, N]
+                    d_safe = jnp.minimum(d_eff, 50.0)
+                    omega = jnp.where(valid, _apply_law(kind, d_safe, params), 0.0)
                 else:
-                    d_eff = r_k
-                d_safe = jnp.minimum(d_eff, 50.0)
-                omega = _apply_law(kind, d_safe, params)
-                a_k = jnp.where(valid, omega, 0.0) * occ * (1.0 - occn[k][:])
+                    omega = r_k  # precomputed law, already masked
+                a_k = omega * occ * (1.0 - occn[k][:])
                 rates.append(a_k)
             return rates
 
         def ev_iter(tables, post, frame_idx, frame_time, ev):
             topd, topi, resc = tables
             rates = candidate_rates(tables, frame_time)
-            total = rates[0].sum(axis=1, keepdims=True)
+            sums = [r.sum(axis=1, keepdims=True) for r in rates]  # K x [TR,1]
+            total = sums[0]
             for k in range(1, K):
-                total = total + rates[k].sum(axis=1, keepdims=True)
+                total = total + sums[k]
 
             phase = phase_scr[:]
             done = done_scr[:]
@@ -213,24 +231,22 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
             safe_total = jnp.where(total > 0, total, 1.0)
             eph = phase + u / safe_total
 
-            # Gumbel argmax over all K x N candidates: per-candidate-column
-            # Gumbel race, then a K-way max — exactly categorical ~ allowed
-            m_best = None
-            src = None
-            kbest = None
+            # Two-stage categorical over the K x N candidates, each stage an
+            # exponential race (argmax r/E, E ~ Exp(1): P(i) = r_i / sum r):
+            # first the neighbor slot ~ per-slot totals ([TR, K], cheap),
+            # then the source column within the slot — ONE [TR, N] draw
+            # instead of K Gumbel draws.
+            keyA = _mix_key(seed, tile_id, frame_idx, ev, 11)
+            eA = -jnp.log(_u01(keyA, (TR, K)))
+            slot_scores = jnp.concatenate(sums, axis=1) / eA  # [TR, K]
+            kbest = jnp.argmax(slot_scores, axis=1)[:, None]  # [TR, 1] i32
+
+            row_sel = jnp.zeros((TR, N), f32)
             for k in range(K):
-                key = _mix_key(seed, tile_id, frame_idx, ev, 21 + k)
-                g = -jnp.log(-jnp.log(_u01(key, (TR, N))))
-                score = jnp.log(rates[k]) + g
-                m_k = jnp.max(score, axis=1, keepdims=True)  # [TR, 1]
-                i_k = jnp.argmax(score, axis=1)[:, None]  # [TR, 1] i32
-                if k == 0:
-                    m_best, src, kbest = m_k, i_k, jnp.zeros((TR, 1), jnp.int32)
-                else:
-                    better = m_k > m_best
-                    m_best = jnp.where(better, m_k, m_best)
-                    src = jnp.where(better, i_k, src)
-                    kbest = jnp.where(better, jnp.int32(k), kbest)
+                row_sel = row_sel + (kbest == k).astype(f32) * rates[k]
+            keyB = _mix_key(seed, tile_id, frame_idx, ev, 12)
+            eB = -jnp.log(_u01(keyB, (TR, N)))
+            src = jnp.argmax(row_sel / eB, axis=1)[:, None]  # [TR, 1]
 
             oh_src = (iota_n == src).astype(f32)
             dst_f = jnp.zeros((TR, 1), f32)
@@ -267,13 +283,20 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
 
             movingf = moving.astype(f32)
             db_refs = (dbx_out, dby_out, dbz_out)
+            # coordinate gathers as two [TR, N] x [N, 8] f32 MXU matmuls
+            # against the per-frame coordinate matrix (cols: s_xyz, post_xyz)
+            cdims = (((1,), (0,)), ((), ()))
+            g_src = jax.lax.dot_general(
+                oh_src, coord_scr[:], cdims, preferred_element_type=f32
+            )  # [TR, 8]
+            g_dst = jax.lax.dot_general(
+                oh_dst, coord_scr[:], cdims, preferred_element_type=f32
+            )
             for dim in range(3):
-                s_col = s_scr[dim : dim + 1, :]
-                p_col = post[dim : dim + 1, :]
-                s_src = jnp.sum(oh_src * s_col, axis=1, keepdims=True)
-                s_dst = jnp.sum(oh_dst * s_col, axis=1, keepdims=True)
-                p_src = jnp.sum(oh_src * p_col, axis=1, keepdims=True)
-                p_dst = jnp.sum(oh_dst * p_col, axis=1, keepdims=True)
+                s_src = g_src[:, dim : dim + 1]
+                s_dst = g_dst[:, dim : dim + 1]
+                p_src = g_src[:, 3 + dim : 4 + dim]
+                p_dst = g_dst[:, 3 + dim : 4 + dim]
                 jump = minimg1(p_dst - p_src, box[dim])
                 db_refs[dim][:] = db_refs[dim][:] + movingf * (
                     s_src - s_dst + jump
@@ -319,6 +342,12 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
                 )
                 s_scr[dim : dim + 1, :] = s_scr[dim : dim + 1, :] + d
             prev_scr[:] = post
+            # per-frame coordinate matrix for the event loop's MXU gathers
+            coord_scr[:] = jnp.transpose(
+                jnp.concatenate(
+                    [s_scr[:], post, jnp.zeros((2, N), f32)], axis=0
+                )
+            )
 
             # occ[nbr_k] via one-hot MXU gather: G_k[j, i] = (j == nbr_k[i])
             occ = occ_out[:]
@@ -522,6 +551,7 @@ def topk_sweep(
         pltpu.VMEM((3, N), jnp.float32),  # prev_scr
         pltpu.VMEM((TR, 1), jnp.float32),  # phase
         pltpu.VMEM((TR, 1), jnp.bool_),  # done
+        pltpu.VMEM((N, 8), jnp.float32),  # coord_scr
     ] + [pltpu.VMEM((TR, N), jnp.float32) for _ in range(k_cand)]  # occn
 
     res = pl.pallas_call(
@@ -592,11 +622,13 @@ def run_block_topk(
     track_matrix = rep.jump_matrix.shape[-1] != 0
     positions = jnp.asarray(frames_positions, jnp.float32)
     k_cand = min(int(model.k), positions.shape[1] - 1)
-    topd, topi, resc = topk_tables(model, positions, _pad_k(k_cand))
     relax = jnp.float32(0.0)
     has_interp = isinstance(model, HydroniumRates) and model.interpolator is not None
     if has_interp:
         relax = jnp.float32(model.interpolator.relaxation_time)
+    topd, topi, resc = topk_tables(
+        model, positions, _pad_k(k_cand), not has_interp
+    )
     params = jnp.concatenate([
         law_params_array(model.law),
         jnp.stack([relax, jnp.float32(0.0)]),

@@ -4,7 +4,11 @@
 # relaxation). One line of G site-updates/s per variant — the VERDICT round-1
 # "every capability hits the north star" check.
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
