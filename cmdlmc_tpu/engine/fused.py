@@ -31,24 +31,19 @@ from cmdlmc_tpu.topo.models import AnglePairRates, HydroniumRates, PairRates, To
 def fused_unsupported_reason(model, cell: Cell, ens: EnsembleState) -> str | None:
     """None if a fused kernel can run this configuration, else a human-readable
     reason (the driver raises it when backend=fused is forced)."""
-    if not cell.orthorhombic:
-        return "triclinic cells need the general minimum image (scan backend)"
     if isinstance(model, (TopKPairRates, HydroniumRates)):
+        if not cell.orthorhombic:
+            return "triclinic top-K models run on the scan backend"
         from cmdlmc_tpu.ops import topk_sweep as ts
 
         return ts.topk_unsupported_reason(model)
     if isinstance(model, AnglePairRates):
-        if not isinstance(model.law, rate_laws.FermiAngle):
-            return (
-                f"AngleTopology with law {type(model.law).__name__} has no "
-                "fused kernel (only FermiAngle)"
-            )
-        return None
+        return None  # in-kernel for FermiAngle, streamed-W for any other law
     if not isinstance(model, PairRates):
         return f"topology model {type(model).__name__} has no fused kernel"
-    if ks.law_kind(model.law) in (None, ks.KIND_FERMI_ANGLE):
+    if isinstance(model.law, rate_laws.FermiAngle):
         return f"rate law {type(model.law).__name__} needs AngleTopology"
-    return None
+    return None  # in-kernel for the known law kinds, streamed-W otherwise
 
 
 def fused_supported(model, cell: Cell, ens: EnsembleState) -> bool:
@@ -56,12 +51,14 @@ def fused_supported(model, cell: Cell, ens: EnsembleState) -> bool:
 
 
 def pick_tile(n_replicas: int, target: int = 128, n_sites: int = 0) -> int:
-    """Largest divisor of R not exceeding the target tile size. For large
-    site counts the per-tile VMEM footprint (several [tile, N] buffers plus
-    the [N, N] rate-matrix scratch) forces smaller tiles."""
-    if n_sites > 768:
+    """Largest divisor of R not exceeding the target tile size. The kernels
+    size their own compiler VMEM budgets (ops/vmem_budget.py), so TR=128 holds
+    through supercell N (measured fastest at N=1152: 2.7-4.1 G vs 1.3 G at
+    TR=32); only truly huge site counts force smaller tiles to keep the
+    [tile, N] replica blocks plus the [N, N] rate matrix under hardware VMEM."""
+    if n_sites > 3072:
         target = min(target, 32)
-    elif n_sites > 384:
+    elif n_sites > 2048:
         target = min(target, 64)
     t = min(target, n_replicas)
     while n_replicas % t:
@@ -91,6 +88,7 @@ def run_block_fused(
     return_truncation: bool = False,
     extras_positions=None,  # [B, M, 3] heavy atoms (AngleTopology)
     hist_range: tuple = (2.0, 3.0),
+    streamed: bool | None = None,  # None = auto; force the streamed-W kernel
 ) -> EnsembleState:
     """Advance all replicas across the block with the fused kernel. Returns the
     updated ensemble (no per-frame rows — the runner reads observables from
@@ -117,6 +115,67 @@ def run_block_fused(
         nbins = rep.jump_hist.shape[-1]
         track_matrix = rep.jump_matrix.shape[-1] != 0
         kind = ks.law_kind(model.law)
+        if streamed is None:
+            # in-kernel W build needs an orthorhombic cell and a law the
+            # kernel evaluates inline; everything else (triclinic, exotic
+            # laws) streams stage-1 XLA-built W matrices through the kernel
+            streamed = not cell.orthorhombic or kind is None or (
+                isinstance(model, AnglePairRates)
+                and not isinstance(model.law, rate_laws.FermiAngle)
+            )
+            # perf: the in-kernel path rebuilds W once per replica tile; with
+            # many tiles at supercell N the one XLA-stage build wins big
+            # (measured v5e, N=1152: 4.1 G streamed vs 2.7 G in-kernel at 32
+            # tiles; 1.7 vs 1.9 at 8 tiles — HBM W reads only pay off once
+            # the rebuild is amortized over enough tiles)
+            n_sites = rep.occ.shape[1]
+            if not streamed and n_sites > 512 and R >= 16 * tile:
+                streamed = True
+        if streamed:
+            from cmdlmc_tpu.ops import kmc_sweep_streamed as kss
+
+            if isinstance(model, AnglePairRates) and extras_positions is None:
+                raise ValueError(
+                    "AngleTopology fused run needs extra-atom positions"
+                )
+            w_block, dist_block = kss.dense_tables(
+                model, jnp.asarray(frames_positions, jnp.float32),
+                extras_block=(
+                    jnp.asarray(extras_positions, jnp.float32)
+                    if extras_positions is not None else None
+                ),
+                nbins=nbins,
+            )
+            out = kss.kmc_sweep_streamed(
+                w_block,
+                jnp.asarray(frames_positions, jnp.float32),
+                ens.prev_pos,
+                ens.site_disp,
+                rep.occ,
+                rep.proton_of_site.astype(jnp.float32),
+                rep.site_of_proton,
+                rep.t_last_jump,
+                rep.disp_base,
+                rep.clock.u_remaining,
+                rep.clock.event_count,
+                jnp.int32(frame0),
+                cell.h,
+                cell.h_inv,
+                tile_offset,
+                dist_block=dist_block,
+                jump_hist=rep.jump_hist if nbins else None,
+                exposure=rep.opportunity_hist if nbins else None,
+                tile=tile,
+                max_events=max_events,
+                dt=float(dt),
+                seed=int(seed),
+                orthorhombic=bool(cell.orthorhombic),
+                interpret=bool(interpret),
+                nbins=nbins,
+                hist_range=tuple(hist_range),
+                track_matrix=track_matrix,
+            )
+            return _finish(ens, rep, out, return_truncation)
         pgrp = None
         if isinstance(model, AnglePairRates):
             if extras_positions is None:
@@ -152,6 +211,11 @@ def run_block_fused(
             hist_range=tuple(hist_range),
             track_matrix=track_matrix,
         )
+    return _finish(ens, rep, out, return_truncation)
+
+
+def _finish(ens, rep, out, return_truncation):
+    """Repack a kernel output dict into an EnsembleState."""
     jumps_delta = out["ev_count"] - rep.clock.event_count
     clock = dataclasses.replace(
         rep.clock,
@@ -220,6 +284,12 @@ def run_block_fused_sharded(
     rep0 = ens.replicas
     nbins = rep0.jump_hist.shape[-1]
     kind = ks.law_kind(model.law)
+    if not cell.orthorhombic or kind is None:
+        raise NotImplementedError(
+            "run_block_fused_sharded drives the in-kernel dense path only "
+            "(orthorhombic cell + built-in law); triclinic/exotic-law configs "
+            "shard via the scan engine's GSPMD path (parallel/mesh.py)"
+        )
     pgrp = None
     if isinstance(model, AnglePairRates):
         if extras_positions is None:

@@ -150,7 +150,11 @@ def _u01(key, shape):
 
 def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
                  cutbuf, use_bf16=False, nbins=0, hist_range=(2.0, 3.0),
-                 track_matrix=False):
+                 track_matrix=False, ablate=""):
+    """``ablate`` is perf forensics only (tools/ablate_dense.py): 'wbuild'
+    builds W on the first frame only, 'events' skips all event iterations,
+    'select' fires the clock but skips selection/updates. Results are WRONG
+    under ablation — never set it in production paths."""
     N, P, TR, B = n_sites, n_protons, tile, block
     f32 = jnp.float32
     mxu_t = jnp.bfloat16 if use_bf16 else jnp.float32
@@ -212,7 +216,7 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
         phase_scr = refs[next(it)]
         done_scr = refs[next(it)]
         w_scr = refs[next(it)]
-        coord_scr = refs[next(it)]  # [N, 8]: cols s_xyz | post_xyz | pad
+        coord_scr = refs[next(it)]  # [8, N]: rows s_xyz | post_xyz | pad
         dist_scr = refs[next(it)] if nbins else None  # [N, N] raw distances
 
         box = [box_ref[0], box_ref[1], box_ref[2]]
@@ -275,6 +279,15 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
             safe_total = jnp.where(total > 0, total, 1.0)
             eph = phase + u / safe_total
 
+            if ablate == "select":  # forensics: clock only, no selection
+                key3 = _mix_key(seed, tile_id, frame_idx, ev, 3)
+                fresh_u = -jnp.log(_u01(key3, (TR, 1)))
+                u_out[:] = jnp.where(fire, fresh_u, u)
+                evc_out[:] = evc_out[:] + fire.astype(jnp.int32)
+                phase_scr[:] = jnp.where(fire, eph, phase)
+                done_scr[:] = jnp.logical_or(done, jnp.logical_not(fire))
+                return
+
             # exponential race: argmax r_i / E_i with E_i = -log(u_i) iid
             # Exp(1) picks i with probability r_i / sum(r) (argmin of the
             # arrival times E_i / r_i) — one transcendental per draw
@@ -307,11 +320,11 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
 
             movingf = moving.astype(f32)
             db_refs = (dbx_out, dby_out, dbz_out)
-            # coordinate gathers as two [TR, N] x [N, 8] MXU matmuls against
-            # the per-frame coordinate matrix (cols: s_xyz, post_xyz) instead
+            # coordinate gathers as two [TR, N] x [8, N]^T MXU matmuls against
+            # the per-frame coordinate matrix (rows: s_xyz, post_xyz) instead
             # of 12 masked lane reductions; always f32 — one-hot x coords is
             # an exact gather, bf16 would round the positions themselves
-            cdims = (((1,), (0,)), ((), ()))
+            cdims = (((1,), (1,)), ((), ()))
             g_src = jax.lax.dot_general(
                 oh_src, coord_scr[:], cdims, preferred_element_type=f32
             )  # [TR, 8]
@@ -362,18 +375,19 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
                 s_scr[dim : dim + 1, :] = s_scr[dim : dim + 1, :] + d
             prev_scr[:] = post
             # per-frame coordinate matrix for the event loop's MXU gathers
-            coord_scr[:] = jnp.transpose(
-                jnp.concatenate(
-                    [s_scr[:], post, jnp.zeros((2, N), f32)], axis=0
-                )
+            coord_scr[:] = jnp.concatenate(
+                [s_scr[:], post, jnp.zeros((2, N), f32)], axis=0
             )
 
             # Build W row-chunk by row-chunk in the scratch: temporaries stay
             # [RB, N]-sized, so VMEM peak ~ one [N, N] buffer even for
             # supercell N (the full W must live for the MXU reductions).
-            RB = min(N, 256 if N <= 512 else 128)
-            for r0 in range(0, N, RB):
-                rb = min(RB, N - r0)
+            def build_w():
+                RB = min(N, 256 if N <= 512 else 128)
+                for r0 in range(0, N, RB):
+                    build_w_chunk(r0, min(RB, N - r0))
+
+            def build_w_chunk(r0, rb):
                 acc = jnp.zeros((rb, N), f32)
                 dds = []
                 for dim in range(3):
@@ -406,6 +420,11 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
                 )
                 if nbins:
                     dist_scr[r0 : r0 + rb, :] = dist
+
+            if ablate == "wbuild":  # forensics: reuse frame 0's W
+                pl.when(f == 0)(build_w)
+            else:
+                build_w()
             W = w_scr[:]
 
             frame_idx = frame0 + f
@@ -414,13 +433,16 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
             phase_scr[:] = jnp.zeros((TR, 1), f32)
             done_scr[:] = jnp.zeros((TR, 1), jnp.bool_)
 
-            ev_iter(W, post, frame_idx, frame_time, 0)
-            for ev in range(1, max_events):
-                any_live = jnp.sum(jnp.logical_not(done_scr[:]).astype(jnp.int32)) > 0
+            if ablate != "events":
+                ev_iter(W, post, frame_idx, frame_time, 0)
+                for ev in range(1, max_events):
+                    any_live = jnp.sum(
+                        jnp.logical_not(done_scr[:]).astype(jnp.int32)
+                    ) > 0
 
-                @pl.when(any_live)
-                def _(ev=ev):
-                    ev_iter(W, post, frame_idx, frame_time, ev)
+                    @pl.when(any_live)
+                    def _(ev=ev):
+                        ev_iter(W, post, frame_idx, frame_time, ev)
 
             # 'no silent caps': a replica still live after max_events
             # iterations fired the full event budget — possibly truncated
@@ -469,7 +491,7 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
     jax.jit,
     static_argnames=(
         "kind", "tile", "max_events", "dt", "seed", "cutbuf", "interpret",
-        "use_bf16", "nbins", "hist_range", "track_matrix",
+        "use_bf16", "nbins", "hist_range", "track_matrix", "ablate",
     ),
 )
 def kmc_sweep(
@@ -502,6 +524,7 @@ def kmc_sweep(
     nbins: int = 0,
     hist_range: tuple = (2.0, 3.0),
     track_matrix: bool = False,
+    ablate: str = "",
 ):
     """Run the fused sweep over a block. Returns a dict of updated state:
     occ, labels, sites, tlast, disp_base, u_rem, ev_count, site_disp,
@@ -524,6 +547,7 @@ def kmc_sweep(
         n_sites=N, n_protons=P, tile=TR, block=B, max_events=max_events,
         kind=kind, dt=dt, seed=seed, cutbuf=cutbuf, use_bf16=use_bf16,
         nbins=nbins, hist_range=hist_range, track_matrix=track_matrix,
+        ablate=ablate,
     )
 
     box = jnp.concatenate(
@@ -622,10 +646,25 @@ def kmc_sweep(
         pltpu.VMEM((TR, 1), jnp.float32),  # phase
         pltpu.VMEM((TR, 1), jnp.bool_),  # done
         pltpu.VMEM((N, N), jnp.float32),  # w_scr
-        pltpu.VMEM((N, 8), jnp.float32),  # coord_scr
+        pltpu.VMEM((8, N), jnp.float32),  # coord_scr
     ]
     if nbins:
         scratch.append(pltpu.VMEM((N, N), jnp.float32))  # dist_scr
+
+    # whole-block position inputs and the [N, N] scratches exceed Mosaic's
+    # default 16 MB scoped-VMEM cap at supercell N — raise it to the estimate
+    from cmdlmc_tpu.ops.vmem_budget import limit_bytes, padded_bytes as padded
+
+    vmem = padded(B, 3, N)  # positions block (full residency)
+    if angle:
+        vmem += padded(B, 3, pgrp_positions.shape[1])
+    vmem += (1 + (1 if nbins else 0)) * padded(N, N)  # w_scr (+ dist_scr)
+    vmem += 4 * padded(TR, N) + 10 * padded(TR, P) + 7 * padded(TR, 1)
+    vmem += 6 * padded(3, N) + padded(8, N)
+    if nbins:
+        vmem += 4 * padded(TR, nbins)
+    if track_matrix:
+        vmem += padded(N, N)
 
     res = pl.pallas_call(
         kernel,
@@ -637,7 +676,9 @@ def kmc_sweep(
         # CPU runs use the TPU-semantics interpreter (the plain HLO interpreter
         # has no lowering for the hardware PRNG primitives).
         interpret=pltpu.InterpretParams() if interpret else False,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=limit_bytes(vmem)
+        ),
         input_output_aliases=aliases,
     )(*inputs)
 

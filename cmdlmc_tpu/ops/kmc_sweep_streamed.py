@@ -1,0 +1,535 @@
+"""Streamed-W fused KMC sweep: the general dense backend.
+
+The in-kernel-W flagship (``ops/kmc_sweep.py``) rebuilds the [N, N] rate
+matrix per replica tile, which (a) duplicates N^2 work R/TR times — the
+supercell scaling wall — and (b) limits the fused path to laws/cells the
+kernel can evaluate inline. This variant splits the work the TPU-natural way:
+
+* stage 1 (XLA): ``model.shared(frame)`` — the same single-source-of-truth
+  dense rate builder the scan engine uses — vectorized over the block, giving
+  W [B, N, N] (+ raw distances when jump statistics are on) in HBM. Any
+  topology/law/transform that can produce a dense masked W works: FermiAngle
+  gating, interpolated distance tables, triclinic cells (core/cell.py h/h^-1
+  minimum image), future laws — no kernel change needed.
+* stage 2 (Pallas): grid (replica tiles, frames); per grid step the next
+  frame's W tile streams HBM -> VMEM through the automatic pipeline
+  (double-buffered, overlapped with compute) while the event loop — clock,
+  exponential-race selection, one-hot MXU updates — runs exactly as in the
+  flagship kernel. Replica state lives in revisited output blocks (constant
+  block index along the frame axis), so it never leaves VMEM between frames.
+
+HBM cost: one W read per frame per tile (N=144: 83 KB, ~0.1 us at v5e HBM
+bandwidth — hidden by the pipeline; N=1152: 5.3 MB, still smaller than the
+in-kernel rebuild it replaces).
+
+In-kernel minimum image (proton jump vectors, frame-to-frame site drift) uses
+the round-based fractional form for triclinic cells — exact whenever the
+vector is shorter than half the smallest cell height, which holds for jump
+vectors (<= cutoff+buffer) and per-frame drift by construction; the 27-image
+reduction (core/cell.py:117-123) is only needed for arbitrary-length vectors.
+
+RNG/determinism rules match ops/kmc_sweep.py: draws keyed by (seed, global
+tile, absolute frame, event iteration, salt) — results are independent of
+host block chunking and identical under replica-axis sharding.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cmdlmc_tpu.ops.kmc_sweep import _mix_key, _u01
+
+Array = jax.Array
+
+
+def _make_kernel(*, n_sites, n_protons, tile, block, max_events, dt, seed,
+                 orthorhombic, nbins=0, hist_range=(2.0, 3.0),
+                 track_matrix=False):
+    N, P, TR, B = n_sites, n_protons, tile, block
+    f32 = jnp.float32
+    hist_lo, hist_hi = float(hist_range[0]), float(hist_range[1])
+    hist_scale = float(nbins) / max(hist_hi - hist_lo, 1e-12)
+
+    def kernel(*refs):
+        it = iter(range(len(refs)))
+        geom_ref = refs[next(it)]  # SMEM f32 [18]: h row-major, h_inv row-major
+        ints_ref = refs[next(it)]  # SMEM i32 [2]: frame0, tile offset
+        w_ref = refs[next(it)]  # [1, N, N] this frame's rate matrix
+        post_ref = refs[next(it)]  # [1, 3, N] this frame's donor positions
+        dist_ref = refs[next(it)] if nbins else None  # [1, N, N] distances
+        prev_ref = refs[next(it)]  # [3, N]
+        s0_ref = refs[next(it)]  # [3, N]
+        occ_ref = refs[next(it)]
+        lab_ref = refs[next(it)]
+        site_ref = refs[next(it)]
+        tlast_ref = refs[next(it)]
+        dbx_ref = refs[next(it)]
+        dby_ref = refs[next(it)]
+        dbz_ref = refs[next(it)]
+        u_ref = refs[next(it)]
+        evc_ref = refs[next(it)]
+        hist_ref = refs[next(it)] if nbins else None
+        expo_ref = refs[next(it)] if nbins else None
+        # outputs
+        occ_out = refs[next(it)]
+        lab_out = refs[next(it)]
+        site_out = refs[next(it)]
+        tlast_out = refs[next(it)]
+        dbx_out = refs[next(it)]
+        dby_out = refs[next(it)]
+        dbz_out = refs[next(it)]
+        u_out = refs[next(it)]
+        evc_out = refs[next(it)]
+        s_out = refs[next(it)]
+        prev_out = refs[next(it)]
+        trunc_out = refs[next(it)]
+        hist_out = refs[next(it)] if nbins else None
+        expo_out = refs[next(it)] if nbins else None
+        jm_out = refs[next(it)] if track_matrix else None  # [1, N, N]
+        # scratch
+        s_scr = refs[next(it)]
+        prev_scr = refs[next(it)]
+        phase_scr = refs[next(it)]
+        done_scr = refs[next(it)]
+        coord_scr = refs[next(it)]  # [8, N]: rows s_xyz | post_xyz | pad
+
+        f = pl.program_id(1)  # frame within the block (inner grid dim)
+        frame0 = ints_ref[0]
+        tile_id = pl.program_id(0) + ints_ref[1]
+        h = [[geom_ref[3 * i + j] for j in range(3)] for i in range(3)]
+        hinv = [[geom_ref[9 + 3 * i + j] for j in range(3)] for i in range(3)]
+
+        def minimg3(d):
+            """Round-based minimum image of a 3-vector given as a list of
+            three same-shaped arrays."""
+            if orthorhombic:
+                return [d[i] - h[i][i] * jnp.round(d[i] / h[i][i])
+                        for i in range(3)]
+            fr = [hinv[i][0] * d[0] + hinv[i][1] * d[1] + hinv[i][2] * d[2]
+                  for i in range(3)]
+            fr = [x - jnp.round(x) for x in fr]
+            return [h[i][0] * fr[0] + h[i][1] * fr[1] + h[i][2] * fr[2]
+                    for i in range(3)]
+
+        @pl.when(f == 0)
+        def _():
+            occ_out[:] = occ_ref[:]
+            lab_out[:] = lab_ref[:]
+            site_out[:] = site_ref[:]
+            tlast_out[:] = tlast_ref[:]
+            dbx_out[:] = dbx_ref[:]
+            dby_out[:] = dby_ref[:]
+            dbz_out[:] = dbz_ref[:]
+            u_out[:] = u_ref[:]
+            evc_out[:] = evc_ref[:]
+            trunc_out[:] = jnp.zeros((TR, 1), jnp.int32)
+            if nbins:
+                hist_out[:] = hist_ref[:]
+                expo_out[:] = expo_ref[:]
+            if track_matrix:
+                jm_out[:] = jnp.zeros((1, N, N), f32)
+            s_scr[:] = s0_ref[:]
+            prev_scr[:] = prev_ref[:]
+
+        iota_n = jax.lax.broadcasted_iota(jnp.int32, (TR, N), 1)
+        if nbins:
+            iota_b = jax.lax.broadcasted_iota(jnp.int32, (TR, nbins), 1)
+
+        post = post_ref[0]  # [3, N]
+        W = w_ref[0]  # [N, N]
+
+        # site drift: accumulate the shared displacement prefix sum
+        d3 = minimg3([post[i : i + 1, :] - prev_scr[i : i + 1, :]
+                      for i in range(3)])
+        for dim in range(3):
+            s_scr[dim : dim + 1, :] = s_scr[dim : dim + 1, :] + d3[dim]
+        prev_scr[:] = post
+        coord_scr[:] = jnp.concatenate(
+            [s_scr[:], post, jnp.zeros((2, N), f32)], axis=0
+        )
+
+        def total_rate():
+            occ = occ_out[:]
+            out = jax.lax.dot_general(
+                1.0 - occ, W, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            )  # contract along W's columns: works for asymmetric W too
+            row = occ * out
+            return row, jnp.sum(row, axis=1, keepdims=True)
+
+        frame_idx = frame0 + f
+        frame_time = frame_idx.astype(f32) * f32(dt)
+
+        def ev_iter(ev):
+            row, total = total_rate()
+            phase = phase_scr[:]
+            done = done_scr[:]
+            u = u_out[:]
+            budget = total * (f32(dt) - phase)
+            fire = jnp.logical_and(jnp.logical_not(done), u <= budget)
+            fire = jnp.logical_and(fire, budget > 0)
+            safe_total = jnp.where(total > 0, total, 1.0)
+            eph = phase + u / safe_total
+
+            # exponential race (see kmc_sweep.py ev_iter)
+            key1 = _mix_key(seed, tile_id, frame_idx, ev, 1)
+            e1 = -jnp.log(_u01(key1, (TR, N)))
+            src = jnp.argmax(row / e1, axis=1)  # [TR]
+            oh_src = (iota_n == src[:, None]).astype(f32)
+            srcrow = jax.lax.dot_general(
+                oh_src, W, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            vac = 1.0 - occ_out[:]
+            w2 = srcrow * vac
+            key2 = _mix_key(seed, tile_id, frame_idx, ev, 2)
+            e2 = -jnp.log(_u01(key2, (TR, N)))
+            dst = jnp.argmax(w2 / e2, axis=1)
+            oh_dst = (iota_n == dst[:, None]).astype(f32)
+
+            firef = fire.astype(f32)
+            label = jnp.sum(lab_out[:] * oh_src, axis=1, keepdims=True)
+
+            occ_out[:] = occ_out[:] + firef * (oh_dst - oh_src)
+            lab_out[:] = (
+                lab_out[:] * (1.0 - firef * (oh_src + oh_dst))
+                + firef * oh_dst * label
+            )
+
+            moving = jnp.logical_and(site_out[:] == src[:, None], fire)
+            site_out[:] = jnp.where(moving, dst[:, None].astype(jnp.int32),
+                                    site_out[:])
+            t_event = frame_time + eph
+            tlast_out[:] = jnp.where(moving, t_event, tlast_out[:])
+
+            movingf = moving.astype(f32)
+            db_refs = (dbx_out, dby_out, dbz_out)
+            cdims = (((1,), (1,)), ((), ()))
+            g_src = jax.lax.dot_general(
+                oh_src, coord_scr[:], cdims, preferred_element_type=f32
+            )  # [TR, 8]
+            g_dst = jax.lax.dot_general(
+                oh_dst, coord_scr[:], cdims, preferred_element_type=f32
+            )
+            jumps = minimg3([
+                g_dst[:, 3 + dim : 4 + dim] - g_src[:, 3 + dim : 4 + dim]
+                for dim in range(3)
+            ])
+            jump_sq = jnp.zeros((TR, 1), f32)
+            for dim in range(3):
+                jump_sq = jump_sq + jumps[dim] * jumps[dim]
+                db_refs[dim][:] = db_refs[dim][:] + movingf * (
+                    g_src[:, dim : dim + 1] - g_dst[:, dim : dim + 1]
+                    + jumps[dim]
+                )
+
+            if nbins:
+                d_evt = jnp.sqrt(jump_sq)
+                inr = jnp.logical_and(d_evt >= hist_lo, d_evt < hist_hi)
+                braw = jnp.clip(
+                    ((d_evt - hist_lo) * f32(hist_scale)).astype(jnp.int32),
+                    0, nbins - 1,
+                )
+                hist_out[:] = hist_out[:] + jnp.logical_and(
+                    jnp.logical_and(iota_b == braw, inr), fire
+                ).astype(jnp.int32)
+            if track_matrix:
+                jm_out[0] = jm_out[0] + jax.lax.dot_general(
+                    firef * oh_src, oh_dst, (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+
+            key3 = _mix_key(seed, tile_id, frame_idx, ev, 3)
+            fresh_u = -jnp.log(_u01(key3, (TR, 1)))
+            u_out[:] = jnp.where(fire, fresh_u, u)
+            evc_out[:] = evc_out[:] + fire.astype(jnp.int32)
+            phase_scr[:] = jnp.where(fire, eph, phase)
+            done_scr[:] = jnp.logical_or(done, jnp.logical_not(fire))
+
+        phase_scr[:] = jnp.zeros((TR, 1), f32)
+        done_scr[:] = jnp.zeros((TR, 1), jnp.bool_)
+
+        ev_iter(0)
+        for ev in range(1, max_events):
+            any_live = jnp.sum(
+                jnp.logical_not(done_scr[:]).astype(jnp.int32)
+            ) > 0
+
+            @pl.when(any_live)
+            def _(ev=ev):
+                ev_iter(ev)
+
+        trunc_out[:] = trunc_out[:] + jnp.logical_not(
+            done_scr[:]
+        ).astype(jnp.int32)
+
+        if nbins:
+            # distance-binned exposure of allowed transitions under the
+            # post-event occupancy (engine/lattice.py:339-356)
+            dist_full = dist_ref[0]
+            w_pos = W > 0
+            inr = jnp.logical_and(dist_full >= hist_lo, dist_full < hist_hi)
+            braw = jnp.clip(
+                ((dist_full - hist_lo) * f32(hist_scale)).astype(jnp.int32),
+                0, nbins - 1,
+            )
+            occ = occ_out[:]
+            vac = 1.0 - occ
+            base = jnp.logical_and(w_pos, inr)
+            for b in range(nbins):
+                mask_b = jnp.logical_and(base, braw == b).astype(f32)
+                tmp = jax.lax.dot_general(
+                    occ, mask_b, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+                val = jnp.sum(tmp * vac, axis=1, keepdims=True)
+                expo_out[:] = expo_out[:] + jnp.where(iota_b == b, val, 0.0)
+
+        _, total = total_rate()
+        u_out[:] = u_out[:] - total * (f32(dt) - phase_scr[:])
+
+        @pl.when(tile_id == 0)
+        def _():
+            s_out[:] = s_scr[:]
+            prev_out[:] = prev_scr[:]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "tile", "max_events", "dt", "seed", "orthorhombic", "interpret",
+        "nbins", "hist_range", "track_matrix",
+    ),
+)
+def kmc_sweep_streamed(
+    w_block,  # [B, N, N] f32 dense masked rate matrices
+    positions,  # [B, N, 3] f32
+    prev_pos,  # [N, 3]
+    site_disp,  # [N, 3]
+    occ,  # [R, N] f32
+    labels,  # [R, N] f32
+    sites,  # [R, P] i32
+    tlast,  # [R, P] f32
+    disp_base,  # [R, P, 3] f32
+    u_rem,  # [R]
+    ev_count,  # [R]
+    frame0,  # scalar i32
+    cell_h,  # [3, 3]
+    cell_hinv,  # [3, 3]
+    tile_offset=0,
+    dist_block=None,  # [B, N, N] raw distances (nbins > 0)
+    jump_hist=None,
+    exposure=None,
+    *,
+    tile: int,
+    max_events: int,
+    dt: float,
+    seed: int,
+    orthorhombic: bool = True,
+    interpret: bool = False,
+    nbins: int = 0,
+    hist_range: tuple = (2.0, 3.0),
+    track_matrix: bool = False,
+):
+    """Run the streamed-W fused sweep over a block; returns the same dict as
+    ops.kmc_sweep.kmc_sweep."""
+    B, N, _ = positions.shape
+    R = occ.shape[0]
+    P = sites.shape[1]
+    TR = tile
+    assert R % TR == 0, (R, TR)
+    n_tiles = R // TR
+    grid = (n_tiles, B)  # frames innermost: state stays resident per tile
+    if nbins:
+        assert dist_block is not None and jump_hist is not None
+
+    kernel = _make_kernel(
+        n_sites=N, n_protons=P, tile=TR, block=B, max_events=max_events,
+        dt=dt, seed=seed, orthorhombic=orthorhombic, nbins=nbins,
+        hist_range=hist_range, track_matrix=track_matrix,
+    )
+
+    geom = jnp.concatenate([
+        jnp.asarray(cell_h, jnp.float32).reshape(9),
+        jnp.asarray(cell_hinv, jnp.float32).reshape(9),
+    ])
+    ints = jnp.stack([
+        jnp.asarray(frame0, jnp.int32), jnp.asarray(tile_offset, jnp.int32)
+    ])
+    post = jnp.swapaxes(jnp.asarray(positions, jnp.float32), 1, 2)  # [B, 3, N]
+
+    def rep_spec(*shape):
+        return pl.BlockSpec(
+            (TR, *shape), lambda t, f: (t,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    def frame_spec(*shape):
+        return pl.BlockSpec(
+            (1, *shape), lambda t, f: (f,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    def smem():
+        return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    dbx = disp_base[..., 0]
+    dby = disp_base[..., 1]
+    dbz = disp_base[..., 2]
+
+    inputs = [geom, ints, jnp.asarray(w_block, jnp.float32), post]
+    in_specs = [smem(), smem(), frame_spec(N, N), frame_spec(3, N)]
+    if nbins:
+        inputs.append(jnp.asarray(dist_block, jnp.float32))
+        in_specs.append(frame_spec(N, N))
+    inputs += [
+        jnp.asarray(prev_pos, jnp.float32).T,
+        jnp.asarray(site_disp, jnp.float32).T,
+        occ, labels, sites.astype(jnp.int32), tlast,
+        dbx, dby, dbz,
+        u_rem.reshape(R, 1), ev_count.reshape(R, 1).astype(jnp.int32),
+    ]
+    fullspec = pl.BlockSpec((3, N), lambda t, f: (0, 0), memory_space=pltpu.VMEM)
+    in_specs += [
+        fullspec, fullspec,
+        rep_spec(N), rep_spec(N), rep_spec(P), rep_spec(P),
+        rep_spec(P), rep_spec(P), rep_spec(P), rep_spec(1), rep_spec(1),
+    ]
+    if nbins:
+        inputs += [jump_hist.astype(jnp.int32), exposure.astype(jnp.float32)]
+        in_specs += [rep_spec(nbins), rep_spec(nbins)]
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((R, N), jnp.float32),
+        jax.ShapeDtypeStruct((R, N), jnp.float32),
+        jax.ShapeDtypeStruct((R, P), jnp.int32),
+        jax.ShapeDtypeStruct((R, P), jnp.float32),
+        jax.ShapeDtypeStruct((R, P), jnp.float32),
+        jax.ShapeDtypeStruct((R, P), jnp.float32),
+        jax.ShapeDtypeStruct((R, P), jnp.float32),
+        jax.ShapeDtypeStruct((R, 1), jnp.float32),
+        jax.ShapeDtypeStruct((R, 1), jnp.int32),
+        jax.ShapeDtypeStruct((3, N), jnp.float32),
+        jax.ShapeDtypeStruct((3, N), jnp.float32),
+        jax.ShapeDtypeStruct((R, 1), jnp.int32),
+    ]
+    out_specs = [
+        rep_spec(N), rep_spec(N), rep_spec(P), rep_spec(P),
+        rep_spec(P), rep_spec(P), rep_spec(P), rep_spec(1), rep_spec(1),
+        fullspec, fullspec, rep_spec(1),
+    ]
+    if nbins:
+        out_shapes += [
+            jax.ShapeDtypeStruct((R, nbins), jnp.int32),
+            jax.ShapeDtypeStruct((R, nbins), jnp.float32),
+        ]
+        out_specs += [rep_spec(nbins), rep_spec(nbins)]
+    if track_matrix:
+        out_shapes.append(jax.ShapeDtypeStruct((n_tiles, N, N), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, N, N), lambda t, f: (t, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+
+    # alias the replica-state inputs onto their outputs (w/post [+dist] shift
+    # the base index)
+    base_in = 4 + (1 if nbins else 0)
+    aliases = {base_in: 10, base_in + 1: 9}
+    for i in range(9):
+        aliases[base_in + 2 + i] = i
+    if nbins:
+        aliases[base_in + 11] = 12
+        aliases[base_in + 12] = 13
+
+    scratch = [
+        pltpu.VMEM((3, N), jnp.float32),  # s_scr
+        pltpu.VMEM((3, N), jnp.float32),  # prev_scr
+        pltpu.VMEM((TR, 1), jnp.float32),  # phase
+        pltpu.VMEM((TR, 1), jnp.bool_),  # done
+        pltpu.VMEM((8, N), jnp.float32),  # coord_scr
+    ]
+
+    # frame-streamed inputs are double-buffered by the pipeline; revisited
+    # replica blocks cost an input and an output copy each
+    from cmdlmc_tpu.ops.vmem_budget import limit_bytes, padded_bytes as padded
+
+    vmem = 2 * (padded(N, N) + padded(3, N))  # w + post, double-buffered
+    if nbins:
+        vmem += 2 * padded(N, N)  # dist
+    vmem += 4 * padded(TR, N)  # occ, labels in+out
+    vmem += 10 * padded(TR, P)  # sites, tlast, db xyz in+out
+    vmem += 7 * padded(TR, 1)  # u, evc in+out, trunc, phase, done
+    vmem += 6 * padded(3, N) + padded(8, N)  # s0/prev in+out, scratch, coord
+    if nbins:
+        vmem += 4 * padded(TR, nbins)
+    if track_matrix:
+        vmem += padded(N, N)
+    vmem_limit = limit_bytes(vmem)
+
+    res = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=scratch,
+        interpret=pltpu.InterpretParams() if interpret else False,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=vmem_limit
+        ),
+        input_output_aliases=aliases,
+    )(*inputs)
+
+    (occ2, lab2, sites2, tlast2, dbx2, dby2, dbz2, u2, evc2, s2, prev2,
+     trunc2) = res[:12]
+    out = {
+        "occ": occ2,
+        "labels": lab2,
+        "sites": sites2,
+        "tlast": tlast2,
+        "disp_base": jnp.stack([dbx2, dby2, dbz2], axis=-1),
+        "u_rem": u2.reshape(R),
+        "ev_count": evc2.reshape(R),
+        "site_disp": s2.T,
+        "prev_pos": prev2.T,
+        "trunc": trunc2.reshape(R),
+    }
+    idx = 12
+    if nbins:
+        out["jump_hist"] = res[idx]
+        out["exposure"] = res[idx + 1]
+        idx += 2
+    if track_matrix:
+        out["jump_matrix"] = res[idx].sum(axis=0)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("nbins",))
+def dense_tables(model, positions_block, extras_block=None, nbins: int = 0):
+    """Stage 1: per-frame dense rate matrices W [B, N, N] (+ distances when
+    jump statistics are on) from the scan engine's own ``model.shared`` —
+    one source of truth for both backends. Chunked lax.map keeps the
+    working set small; jitted so it is one device call per block."""
+    from cmdlmc_tpu.topo.models import Frame
+
+    def one(args):
+        pos, extras = args
+        frame = Frame(donors=pos, extras=extras, time=jnp.float32(0.0),
+                      index=jnp.int32(0))
+        sh = model.shared(frame)
+        return (sh.W, sh.dist) if nbins else sh.W
+
+    pos = jnp.asarray(positions_block, jnp.float32)
+    if extras_block is None:
+        extras = jnp.zeros((pos.shape[0], 0, 3), jnp.float32)
+    else:
+        extras = jnp.asarray(extras_block, jnp.float32)
+    out = jax.lax.map(one, (pos, extras), batch_size=8)
+    return out if nbins else (out, None)

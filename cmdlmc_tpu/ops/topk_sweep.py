@@ -149,7 +149,7 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
         prev_scr = refs[next(it)]
         phase_scr = refs[next(it)]
         done_scr = refs[next(it)]
-        coord_scr = refs[next(it)]  # [N, 8]: cols s_xyz | post_xyz | pad
+        coord_scr = refs[next(it)]  # [8, N]: rows s_xyz | post_xyz | pad
         occn = [refs[next(it)] for _ in range(K)]  # each [TR, N]
 
         box = [box_ref[0], box_ref[1], box_ref[2]]
@@ -284,8 +284,8 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
             movingf = moving.astype(f32)
             db_refs = (dbx_out, dby_out, dbz_out)
             # coordinate gathers as two [TR, N] x [N, 8] f32 MXU matmuls
-            # against the per-frame coordinate matrix (cols: s_xyz, post_xyz)
-            cdims = (((1,), (0,)), ((), ()))
+            # against the per-frame coordinate matrix (rows: s_xyz, post_xyz)
+            cdims = (((1,), (1,)), ((), ()))
             g_src = jax.lax.dot_general(
                 oh_src, coord_scr[:], cdims, preferred_element_type=f32
             )  # [TR, 8]
@@ -343,10 +343,8 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
                 s_scr[dim : dim + 1, :] = s_scr[dim : dim + 1, :] + d
             prev_scr[:] = post
             # per-frame coordinate matrix for the event loop's MXU gathers
-            coord_scr[:] = jnp.transpose(
-                jnp.concatenate(
-                    [s_scr[:], post, jnp.zeros((2, N), f32)], axis=0
-                )
+            coord_scr[:] = jnp.concatenate(
+                [s_scr[:], post, jnp.zeros((2, N), f32)], axis=0
             )
 
             # occ[nbr_k] via one-hot MXU gather: G_k[j, i] = (j == nbr_k[i])
@@ -551,8 +549,22 @@ def topk_sweep(
         pltpu.VMEM((3, N), jnp.float32),  # prev_scr
         pltpu.VMEM((TR, 1), jnp.float32),  # phase
         pltpu.VMEM((TR, 1), jnp.bool_),  # done
-        pltpu.VMEM((N, 8), jnp.float32),  # coord_scr
+        pltpu.VMEM((8, N), jnp.float32),  # coord_scr
     ] + [pltpu.VMEM((TR, N), jnp.float32) for _ in range(k_cand)]  # occn
+
+    # the resident [B, KL, N] candidate tables blow Mosaic's default 16 MB
+    # scoped-VMEM cap at supercell N / long blocks — raise it to the estimate
+    from cmdlmc_tpu.ops.vmem_budget import limit_bytes, padded_bytes as padded
+
+    kl = topd.shape[1]
+    vmem = padded(B, 3, N) + 3 * padded(B, kl, N)  # post + topd/topi/resc
+    vmem += 6 * padded(TR, N)  # occ, labels, tlast_site in+out
+    vmem += 10 * padded(TR, P) + 7 * padded(TR, 1)
+    vmem += 6 * padded(3, N) + padded(8, N) + k_cand * padded(TR, N)
+    if nbins:
+        vmem += 4 * padded(TR, nbins)
+    if track_matrix:
+        vmem += padded(N, N)
 
     res = pl.pallas_call(
         kernel,
@@ -562,7 +574,9 @@ def topk_sweep(
         out_shape=tuple(out_shapes),
         scratch_shapes=scratch,
         interpret=pltpu.InterpretParams() if interpret else False,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=limit_bytes(vmem)
+        ),
         input_output_aliases=aliases,
     )(*inputs)
 

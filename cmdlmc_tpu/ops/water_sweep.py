@@ -360,6 +360,13 @@ def water_sweep(
         rep(3), rep(3), full(), full(), rep(1),
     )
 
+    # whole-block positions + the [N, N] distance scratch exceed Mosaic's
+    # default 16 MB scoped-VMEM cap for big water boxes — raise it
+    from cmdlmc_tpu.ops.vmem_budget import limit_bytes, padded_bytes as padded
+
+    vmem = padded(B, 3, N) + padded(N, N) + 3 * padded(N, KL)
+    vmem += 6 * padded(3, N) + 18 * padded(TR, 3) + 12 * padded(TR, 1)
+
     res = pl.pallas_call(
         kernel,
         grid=grid,
@@ -382,7 +389,9 @@ def water_sweep(
             pltpu.VMEM((TR, 1), jnp.bool_),  # done
         ],
         interpret=pltpu.InterpretParams() if interpret else False,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=limit_bytes(vmem)
+        ),
         input_output_aliases={
             7: 0, 8: 1, 9: 2, 10: 3, 11: 4, 12: 5, 13: 6, 14: 7, 15: 8,
             6: 9, 5: 10,

@@ -23,3 +23,9 @@ import jax  # noqa: E402  (import after env is set)
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+# Persistent compilation cache: the suite is compile-bound on small hosts
+# (hundreds of jit/interpret-mode Pallas programs); caching across runs cuts
+# repeat wall time substantially. Harmless if the dir is cold.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_pytest_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,0 +1,191 @@
+"""Streamed-W fused kernel (interpret mode): exact parity with the in-kernel-W
+flagship on orthorhombic cells (identical RNG streams, same events), chunk
+invariance, triclinic minimum-image correctness, and the widened capability
+gate (triclinic cells / laws without an in-kernel evaluation)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cmdlmc_tpu.core.cell import Cell, minimum_image
+from cmdlmc_tpu.engine import fused, lattice as eng
+from cmdlmc_tpu.rates.laws import Constant, Fermi
+from cmdlmc_tpu.topo.models import AnglePairRates, PairRates
+
+
+def build(n_sites, n_protons, n_replicas, law, cutoff, buffer, cell,
+          seed=0, hist_bins=0, track_matrix=False):
+    rng = np.random.RandomState(3)
+    lengths = np.diag(np.asarray(cell.h))
+    positions = rng.uniform(0, float(lengths.min()) * 0.9,
+                            size=(n_sites, 3)).astype(np.float32)
+    model = PairRates(
+        cell=cell, law=law, cutoff=jnp.float32(cutoff), buffer=jnp.float32(buffer)
+    )
+    key = jax.random.key(seed)
+    ens = eng.init_replicas(
+        jax.random.fold_in(key, 0), n_replicas, n_sites, n_protons,
+        jnp.asarray(positions), hist_bins=hist_bins,
+        track_jump_matrix=track_matrix,
+    )
+    return model, positions, ens
+
+
+def drift_block(positions, n_frames, scale=0.05, seed=11):
+    rng = np.random.RandomState(seed)
+    return jnp.asarray(
+        positions[None]
+        + rng.normal(scale=scale, size=(n_frames, *positions.shape)).astype(np.float32)
+    )
+
+
+def test_streamed_matches_in_kernel_exactly():
+    """Same RNG keys + numerically identical W -> the two dense backends fire
+    the same events and land in the same state."""
+    cell = Cell.cubic([9.0, 9.0, 9.0])
+    model, positions, ens = build(
+        32, 16, 8, Fermi(a=jnp.float32(0.2), b=jnp.float32(2.3), c=jnp.float32(0.1)),
+        3.0, 2.0, cell,
+    )
+    block = drift_block(positions, 12)
+    kw = dict(dt=0.5, seed=3, tile=4, interpret=True)
+    e1 = fused.run_block_fused(model, cell, ens, block, 0, streamed=False, **kw)
+    e2 = fused.run_block_fused(model, cell, ens, block, 0, streamed=True, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(e1.replicas.clock.event_count),
+        np.asarray(e2.replicas.clock.event_count),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(e1.replicas.occ), np.asarray(e2.replicas.occ)
+    )
+    np.testing.assert_allclose(
+        np.asarray(e1.replicas.disp_base), np.asarray(e2.replicas.disp_base),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(e1.site_disp), np.asarray(e2.site_disp), atol=1e-5
+    )
+
+
+def test_streamed_hist_and_matrix_parity():
+    cell = Cell.cubic([9.0, 9.0, 9.0])
+    model, positions, ens = build(
+        32, 16, 4, Fermi(a=jnp.float32(0.2), b=jnp.float32(2.3), c=jnp.float32(0.1)),
+        3.0, 2.0, cell, hist_bins=10, track_matrix=True,
+    )
+    block = drift_block(positions, 8)
+    kw = dict(dt=0.5, seed=3, tile=4, interpret=True, hist_range=(2.0, 4.0))
+    e1 = fused.run_block_fused(model, cell, ens, block, 0, streamed=False, **kw)
+    e2 = fused.run_block_fused(model, cell, ens, block, 0, streamed=True, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(e1.replicas.jump_hist), np.asarray(e2.replicas.jump_hist)
+    )
+    np.testing.assert_allclose(
+        np.asarray(e1.replicas.opportunity_hist),
+        np.asarray(e2.replicas.opportunity_hist), rtol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(e1.replicas.jump_matrix), np.asarray(e2.replicas.jump_matrix)
+    )
+    assert np.asarray(e2.replicas.jump_hist).sum() > 0
+
+
+def test_streamed_chunk_invariance():
+    cell = Cell.cubic([9.0, 9.0, 9.0])
+    model, positions, ens = build(
+        32, 16, 8, Fermi(a=jnp.float32(0.2), b=jnp.float32(2.3), c=jnp.float32(0.1)),
+        3.0, 2.0, cell,
+    )
+    block = drift_block(positions, 12)
+    kw = dict(dt=0.5, seed=3, tile=4, interpret=True, streamed=True)
+    whole = fused.run_block_fused(model, cell, ens, block, 0, **kw)
+    part = fused.run_block_fused(model, cell, ens, block[:5], 0, **kw)
+    part = fused.run_block_fused(model, cell, part, block[5:], 5, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(whole.replicas.occ), np.asarray(part.replicas.occ)
+    )
+    np.testing.assert_allclose(
+        np.asarray(whole.replicas.disp_base),
+        np.asarray(part.replicas.disp_base), rtol=1e-6,
+    )
+
+
+def test_gate_widened():
+    """Triclinic dense models and laws without an in-kernel evaluation are now
+    fused-supported (routed to the streamed kernel)."""
+    tri = Cell.triclinic([[10, 0, 0], [3, 9, 0], [0, 0, 8]])
+    model, _, ens = build(
+        8, 3, 4, Constant(a=jnp.float32(0.02)), 100.0, 0.0, Cell.cubic([20.0] * 3)
+    )
+    import dataclasses
+
+    tri_model = dataclasses.replace(model, cell=tri)
+    assert fused.fused_supported(tri_model, tri, ens)
+    # AngleTopology with a distance-only law: streamed (W built in XLA)
+    angle_model = AnglePairRates(
+        cell=tri, law=Fermi(a=jnp.float32(0.1), b=jnp.float32(2.3),
+                            c=jnp.float32(0.1)),
+        cutoff=jnp.float32(3.0), buffer=jnp.float32(1.0),
+        o_to_p=jnp.zeros(8, jnp.int32),
+    )
+    assert fused.fused_supported(angle_model, tri, ens)
+
+
+def test_triclinic_event_rate_and_invariants():
+    """Constant law on a triclinic cell: exact expected event count, occupancy
+    invariants — the full streamed path incl. the fractional minimum image."""
+    tri = Cell.triclinic([[12, 0, 0], [4, 11, 0], [1, 0, 10]])
+    n_sites, n_protons, R, F = 10, 4, 32, 300
+    a, dt = 0.04, 0.5
+    rng = np.random.RandomState(3)
+    positions = rng.uniform(0, 8.0, size=(n_sites, 3)).astype(np.float32)
+    model = PairRates(cell=tri, law=Constant(a=jnp.float32(a)),
+                      cutoff=jnp.float32(100.0), buffer=jnp.float32(0.0))
+    key = jax.random.key(0)
+    ens = eng.init_replicas(
+        jax.random.fold_in(key, 0), R, n_sites, n_protons, jnp.asarray(positions)
+    )
+    block = jnp.broadcast_to(jnp.asarray(positions), (F, n_sites, 3))
+    ens2 = fused.run_block_fused(
+        model, tri, ens, block, 0, dt=dt, seed=5, tile=16, interpret=True
+    )
+    rep = ens2.replicas
+    occ = np.asarray(rep.occ)
+    np.testing.assert_allclose(occ.sum(axis=1), n_protons, atol=1e-5)
+    counts = np.asarray(rep.clock.event_count, float)
+    expected = a * n_protons * (n_sites - n_protons) * dt * F
+    z = (counts.mean() - expected) / np.sqrt(expected / R)
+    assert abs(z) < 5, (counts.mean(), expected, z)
+
+
+def test_triclinic_jump_vector_minimum_image():
+    """Two sites across a skewed boundary: the recorded per-proton displacement
+    must be the triclinic minimum-image vector (not the raw difference)."""
+    tri = Cell.triclinic([[10, 0, 0], [4, 9, 0], [0, 0, 8]])
+    # site B sits across the x-boundary from A: raw difference is long, the
+    # minimum image is short
+    pos = np.array([[0.5, 4.0, 4.0], [9.7, 4.4, 4.0]], np.float32)
+    mi = np.asarray(minimum_image(tri, jnp.asarray(pos[1] - pos[0])))
+    assert np.linalg.norm(mi) < np.linalg.norm(pos[1] - pos[0])
+    model = PairRates(cell=tri, law=Constant(a=jnp.float32(0.5)),
+                      cutoff=jnp.float32(100.0), buffer=jnp.float32(0.0))
+    key = jax.random.key(0)
+    R = 8
+    ens = eng.init_replicas(
+        jax.random.fold_in(key, 0), R, 2, 1, jnp.asarray(pos)
+    )
+    block = jnp.broadcast_to(jnp.asarray(pos), (40, 2, 3))
+    ens2 = fused.run_block_fused(
+        model, tri, ens, block, 0, dt=0.5, seed=5, tile=4, interpret=True
+    )
+    rep = ens2.replicas
+    disp = np.asarray(rep.disp_base)[:, 0, :]  # [R, 3]
+    counts = np.asarray(rep.clock.event_count)
+    assert counts.sum() > 0
+    norm_mi = np.linalg.norm(mi)
+    for r in range(R):
+        d = np.linalg.norm(disp[r])
+        # after an even number of jumps the proton is back (|disp| = 0);
+        # after an odd number it is one minimum-image vector away
+        target = 0.0 if counts[r] % 2 == 0 else norm_mi
+        np.testing.assert_allclose(d, target, atol=1e-4)

@@ -65,6 +65,9 @@ def variants():
     yield "dense_fermi", PairRates(
         cell=cell, law=fermi, cutoff=f32(3.0), buffer=f32(2.0)
     ), dict()
+    yield "dense_streamed", PairRates(
+        cell=cell, law=fermi, cutoff=f32(3.0), buffer=f32(2.0)
+    ), dict(streamed=True)
     angle_law = FermiAngle(a=jnp.float32(0.06), b=jnp.float32(2.3),
                            c=jnp.float32(0.1), theta=jnp.float32(1.2))
     yield "fermi_angle", AnglePairRates.from_first_frame(
@@ -110,6 +113,7 @@ for name, model, opts in variants():
             tile=args.tile, interpret=interpret,
             extras_positions=eblocks[k] if extras else None,
             hist_range=(2.0, 3.0),
+            streamed=opts.get("streamed"),
         )
 
     t0 = time.perf_counter()
