@@ -123,13 +123,12 @@ def run_block_fused(
                 isinstance(model, AnglePairRates)
                 and not isinstance(model.law, rate_laws.FermiAngle)
             )
-            # perf: the in-kernel path rebuilds W once per replica tile; with
-            # many tiles at supercell N the one XLA-stage build wins big
-            # (measured v5e, N=1152: 4.1 G streamed vs 2.7 G in-kernel at 32
-            # tiles; 1.7 vs 1.9 at 8 tiles — HBM W reads only pay off once
-            # the rebuild is amortized over enough tiles)
-            n_sites = rep.occ.shape[1]
-            if not streamed and n_sites > 512 and R >= 16 * tile:
+            # perf: the in-kernel path rebuilds W once per replica tile; the
+            # one XLA-stage build + HBM streaming wins once enough tiles
+            # amortize it (measured v5e @TR=128: N=144 R=16384 2.83 vs 2.45 G,
+            # N=1152 R=4096 4.09 vs 2.73 G; at 8 tiles dense still wins
+            # slightly, 1.9 vs 1.7 G)
+            if not streamed and R >= 16 * tile:
                 streamed = True
         if streamed:
             from cmdlmc_tpu.ops import kmc_sweep_streamed as kss
@@ -284,11 +283,24 @@ def run_block_fused_sharded(
     rep0 = ens.replicas
     nbins = rep0.jump_hist.shape[-1]
     kind = ks.law_kind(model.law)
-    if not cell.orthorhombic or kind is None:
+    if isinstance(model, (TopKPairRates, HydroniumRates)):
         raise NotImplementedError(
-            "run_block_fused_sharded drives the in-kernel dense path only "
-            "(orthorhombic cell + built-in law); triclinic/exotic-law configs "
-            "shard via the scan engine's GSPMD path (parallel/mesh.py)"
+            "top-K models shard via the scan engine's GSPMD path "
+            "(parallel/mesh.py); run_block_fused_sharded covers the dense "
+            "kernels"
+        )
+    if not cell.orthorhombic or kind is None or (
+        isinstance(model, AnglePairRates)
+        and not isinstance(model.law, rate_laws.FermiAngle)
+    ):
+        # streamed-W route: stage-1 W build is plain XLA (replicated here —
+        # frames are replicated anyway); the kernel shards over replicas with
+        # per-shard tile-id offsets, identical RNG to single-device
+        return _run_sharded_streamed(
+            model, cell, ens, frames_positions, frame0, mesh,
+            axis=axis, dt=dt, max_events=max_events, seed=seed, tile=tile,
+            interpret=interpret, extras_positions=extras_positions,
+            hist_range=hist_range, tiles_per_dev=tiles_per_dev, nbins=nbins,
         )
     pgrp = None
     if isinstance(model, AnglePairRates):
@@ -359,6 +371,114 @@ def run_block_fused_sharded(
         pgrp if pgrp is not None else jnp.zeros_like(
             jnp.asarray(frames_positions, jnp.float32)
         ),
+    )
+    (occ, labels, sites, tlast, disp_base, u, evc, s, prev, _trunc) = res[:10]
+    jumps_delta = evc - rep0.clock.event_count
+    clock = dataclasses.replace(rep0.clock, u_remaining=u, event_count=evc)
+    updates = dict(
+        occ=occ,
+        proton_of_site=jnp.round(labels).astype(jnp.int32),
+        site_of_proton=sites,
+        t_last_jump=tlast,
+        disp_base=disp_base,
+        clock=clock,
+        jumps=rep0.jumps + jumps_delta,
+    )
+    if nbins:
+        updates["jump_hist"] = res[10]
+        updates["opportunity_hist"] = res[11]
+    replicas = dataclasses.replace(rep0, **updates)
+    return EnsembleState(replicas=replicas, site_disp=s, prev_pos=prev)
+
+
+def _run_sharded_streamed(
+    model, cell, ens, frames_positions, frame0, mesh, *,
+    axis, dt, max_events, seed, tile, interpret, extras_positions,
+    hist_range, tiles_per_dev, nbins,
+):
+    """Streamed-W dense kernel under shard_map (triclinic cells / laws with
+    no in-kernel evaluation). Bit-identical to the single-device streamed run
+    with the same tile size."""
+    from jax.sharding import PartitionSpec as P
+
+    from cmdlmc_tpu.ops import kmc_sweep_streamed as kss
+
+    rep0 = ens.replicas
+    track_matrix = rep0.jump_matrix.shape[-1] != 0
+    if track_matrix:
+        raise NotImplementedError(
+            "jump-matrix tracking on the sharded streamed path needs a "
+            "cross-shard reduction; use the single-device fused backend or "
+            "the scan GSPMD path"
+        )
+    if isinstance(model, AnglePairRates) and extras_positions is None:
+        raise ValueError("AngleTopology fused run needs extra-atom positions")
+    use_interp = bool(
+        interpret if interpret is not None else jax.default_backend() != "tpu"
+    )
+    w_block, dist_block = kss.dense_tables(
+        model, jnp.asarray(frames_positions, jnp.float32),
+        extras_block=(
+            jnp.asarray(extras_positions, jnp.float32)
+            if extras_positions is not None else None
+        ),
+        nbins=nbins,
+    )
+
+    def local(occ, labels, sites, tlast, disp_base, u, evc, hist, expo,
+              site_disp, prev_pos, positions, w_blk, dist_blk):
+        idx = jax.lax.axis_index(axis)
+        out = kss.kmc_sweep_streamed(
+            w_blk, positions, prev_pos, site_disp,
+            occ, labels, sites, tlast, disp_base, u, evc,
+            jnp.int32(frame0), cell.h, cell.h_inv,
+            idx * tiles_per_dev,
+            dist_block=dist_blk if nbins else None,
+            jump_hist=hist if nbins else None,
+            exposure=expo if nbins else None,
+            tile=tile,
+            max_events=max_events,
+            dt=float(dt),
+            seed=int(seed),
+            orthorhombic=bool(cell.orthorhombic),
+            interpret=use_interp,
+            nbins=nbins,
+            hist_range=tuple(hist_range),
+        )
+        keys = ["occ", "labels", "sites", "tlast", "disp_base", "u_rem",
+                "ev_count", "site_disp", "prev_pos", "trunc"]
+        if nbins:
+            keys += ["jump_hist", "exposure"]
+        return tuple(out[k] for k in keys)
+
+    out_specs = [P(axis)] * 7 + [P(), P(), P(axis)]
+    if nbins:
+        out_specs += [P(axis), P(axis)]
+    res = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+            P(axis), P(axis),
+            P(), P(), P(), P(), P(),
+        ),
+        out_specs=tuple(out_specs),
+        check_vma=False,
+    )(
+        rep0.occ,
+        rep0.proton_of_site.astype(jnp.float32),
+        rep0.site_of_proton,
+        rep0.t_last_jump,
+        rep0.disp_base,
+        rep0.clock.u_remaining,
+        rep0.clock.event_count,
+        rep0.jump_hist,
+        rep0.opportunity_hist,
+        ens.site_disp,
+        ens.prev_pos,
+        jnp.asarray(frames_positions, jnp.float32),
+        w_block,
+        dist_block if dist_block is not None else jnp.zeros((1,), jnp.float32),
     )
     (occ, labels, sites, tlast, disp_base, u, evc, s, prev, _trunc) = res[:10]
     jumps_delta = evc - rep0.clock.event_count
