@@ -2,17 +2,22 @@
 
 ``run_block_fused`` is a drop-in alternative to ``run_block``; it advances the
 whole block inside one Pallas kernel instead of a lax.scan of many small XLA
-ops. Two kernels cover the capability matrix:
+ops. Three kernels cover the capability matrix:
 
-* ``ops/kmc_sweep.py`` — dense [N, N] rate matrix: PairRates with symmetric
-  distance laws, AnglePairRates with the (asymmetric) FermiAngle gate, and
-  optional jump histogram / exposure / jump-matrix statistics.
+* ``ops/kmc_sweep.py`` — dense [N, N] rate matrix built in-kernel: PairRates
+  with laws the kernel evaluates inline, AnglePairRates with the (asymmetric)
+  FermiAngle gate, and optional jump histogram / exposure / jump-matrix
+  statistics.
+* ``ops/kmc_sweep_streamed.py`` — dense W built by XLA (``model.shared``, any
+  law/transform, triclinic cells) and streamed per frame through the grid
+  pipeline; also the fastest dense path once >=16 tiles amortize the build.
 * ``ops/topk_sweep.py`` — K-nearest neighbor lists: TopKPairRates (the
   reference's Verlet-list option) and HydroniumRates with residence-time
-  distance relaxation (topology.py:170-257).
+  distance relaxation (topology.py:170-257); triclinic via the h/h^-1
+  round-based minimum image.
 
-Use :func:`fused_supported` to decide; the XLA scan engine remains the general
-path (triclinic cells, exotic laws)."""
+Use :func:`fused_supported` to decide; the XLA scan engine remains the
+reference oracle and the fallback for anything the gate rejects."""
 
 from __future__ import annotations
 
@@ -32,8 +37,6 @@ def fused_unsupported_reason(model, cell: Cell, ens: EnsembleState) -> str | Non
     """None if a fused kernel can run this configuration, else a human-readable
     reason (the driver raises it when backend=fused is forced)."""
     if isinstance(model, (TopKPairRates, HydroniumRates)):
-        if not cell.orthorhombic:
-            return "triclinic top-K models run on the scan backend"
         from cmdlmc_tpu.ops import topk_sweep as ts
 
         return ts.topk_unsupported_reason(model)
@@ -289,6 +292,12 @@ def run_block_fused_sharded(
             "(parallel/mesh.py); run_block_fused_sharded covers the dense "
             "kernels"
         )
+    if rep0.jump_matrix.shape[-1] != 0:
+        raise NotImplementedError(
+            "jump-matrix tracking on the sharded fused path needs a "
+            "cross-shard reduction; use the single-device fused backend or "
+            "the scan GSPMD path"
+        )
     if not cell.orthorhombic or kind is None or (
         isinstance(model, AnglePairRates)
         and not isinstance(model.law, rate_laws.FermiAngle)
@@ -404,13 +413,6 @@ def _run_sharded_streamed(
     from cmdlmc_tpu.ops import kmc_sweep_streamed as kss
 
     rep0 = ens.replicas
-    track_matrix = rep0.jump_matrix.shape[-1] != 0
-    if track_matrix:
-        raise NotImplementedError(
-            "jump-matrix tracking on the sharded streamed path needs a "
-            "cross-shard reduction; use the single-device fused backend or "
-            "the scan GSPMD path"
-        )
     if isinstance(model, AnglePairRates) and extras_positions is None:
         raise ValueError("AngleTopology fused run needs extra-atom positions")
     use_interp = bool(

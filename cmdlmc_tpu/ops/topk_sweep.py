@@ -98,7 +98,8 @@ def topk_tables(model, positions_block, kl: int, precompute_law: bool = False):
 
 
 def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
-                 dt, seed, has_interp, nbins, hist_range, track_matrix):
+                 dt, seed, has_interp, nbins, hist_range, track_matrix,
+                 orthorhombic=True):
     N, P, TR, B, K = n_sites, n_protons, tile, block, k_cand
     f32 = jnp.float32
     hist_lo, hist_hi = float(hist_range[0]), float(hist_range[1])
@@ -106,7 +107,7 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
 
     def kernel(*refs):
         it = iter(range(len(refs)))
-        box_ref = refs[next(it)]  # SMEM f32 [4]
+        geom_ref = refs[next(it)]  # SMEM f32 [18]: h row-major, then h_inv
         ints_ref = refs[next(it)]  # SMEM i32 [2]: frame0, tile offset
         params_ref = refs[next(it)]  # SMEM f32 [8]: law[6] + relax + pad
         post_ref = refs[next(it)]  # [B, 3, N]
@@ -152,7 +153,8 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
         coord_scr = refs[next(it)]  # [8, N]: rows s_xyz | post_xyz | pad
         occn = [refs[next(it)] for _ in range(K)]  # each [TR, N]
 
-        box = [box_ref[0], box_ref[1], box_ref[2]]
+        h = [[geom_ref[3 * i + j] for j in range(3)] for i in range(3)]
+        hinv = [[geom_ref[9 + 3 * i + j] for j in range(3)] for i in range(3)]
         frame0 = ints_ref[0]
         tile_id = pl.program_id(0) + ints_ref[1]
         params = [params_ref[i] for i in range(6)]
@@ -182,8 +184,18 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
         if nbins:
             iota_b = jax.lax.broadcasted_iota(jnp.int32, (TR, nbins), 1)
 
-        def minimg1(delta, length):
-            return delta - length * jnp.round(delta / length)
+        def minimg3(d):
+            """Round-based minimum image of a 3-vector (list of three
+            same-shaped arrays) — exact for vectors shorter than half the
+            smallest cell height (jump vectors, per-frame drift)."""
+            if orthorhombic:
+                return [d[i] - h[i][i] * jnp.round(d[i] / h[i][i])
+                        for i in range(3)]
+            fr = [hinv[i][0] * d[0] + hinv[i][1] * d[1] + hinv[i][2] * d[2]
+                  for i in range(3)]
+            fr = [x - jnp.round(x) for x in fr]
+            return [h[i][0] * fr[0] + h[i][1] * fr[1] + h[i][2] * fr[2]
+                    for i in range(3)]
 
         def candidate_rates(tables, frame_time):
             """K lists of allowed rates [TR, N] under the current state.
@@ -292,14 +304,15 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
             g_dst = jax.lax.dot_general(
                 oh_dst, coord_scr[:], cdims, preferred_element_type=f32
             )
+            jumps = minimg3([
+                g_dst[:, 3 + dim : 4 + dim] - g_src[:, 3 + dim : 4 + dim]
+                for dim in range(3)
+            ])
             for dim in range(3):
                 s_src = g_src[:, dim : dim + 1]
                 s_dst = g_dst[:, dim : dim + 1]
-                p_src = g_src[:, 3 + dim : 4 + dim]
-                p_dst = g_dst[:, 3 + dim : 4 + dim]
-                jump = minimg1(p_dst - p_src, box[dim])
                 db_refs[dim][:] = db_refs[dim][:] + movingf * (
-                    s_src - s_dst + jump
+                    s_src - s_dst + jumps[dim]
                 )
 
             # incremental occ[nbr_k] refresh: only src/dst changed occupancy
@@ -336,11 +349,12 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
             tables = (topd_ref[f], topi_ref[f], resc_ref[f])
             topd, topi, resc = tables
 
+            d3 = minimg3([
+                post[dim : dim + 1, :] - prev_scr[dim : dim + 1, :]
+                for dim in range(3)
+            ])
             for dim in range(3):
-                d = minimg1(
-                    post[dim : dim + 1, :] - prev_scr[dim : dim + 1, :], box[dim]
-                )
-                s_scr[dim : dim + 1, :] = s_scr[dim : dim + 1, :] + d
+                s_scr[dim : dim + 1, :] = s_scr[dim : dim + 1, :] + d3[dim]
             prev_scr[:] = post
             # per-frame coordinate matrix for the event loop's MXU gathers
             coord_scr[:] = jnp.concatenate(
@@ -421,7 +435,7 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
     jax.jit,
     static_argnames=(
         "kind", "k_cand", "tile", "max_events", "dt", "seed", "has_interp",
-        "interpret", "nbins", "hist_range", "track_matrix",
+        "interpret", "nbins", "hist_range", "track_matrix", "orthorhombic",
     ),
 )
 def topk_sweep(
@@ -434,12 +448,13 @@ def topk_sweep(
     disp_base,  # [R, P, 3]
     u_rem, ev_count,  # [R]
     law_params,  # [8]: law[6] + relaxation_time + pad
-    frame0, box_lengths, tile_offset=0,
+    frame0, cell_h, cell_hinv, tile_offset=0,
     jump_hist=None, exposure=None,
     *,
     kind: int, k_cand: int, tile: int, max_events: int, dt: float, seed: int,
     has_interp: bool, interpret: bool = False, nbins: int = 0,
     hist_range: tuple = (2.0, 3.0), track_matrix: bool = False,
+    orthorhombic: bool = True,
 ):
     """Run the fused top-K sweep over a block; returns the same dict as
     ops.kmc_sweep.kmc_sweep plus ``tlast_site``."""
@@ -455,11 +470,12 @@ def topk_sweep(
         n_sites=N, n_protons=P, tile=TR, block=B, max_events=max_events,
         kind=kind, k_cand=k_cand, dt=dt, seed=seed, has_interp=has_interp,
         nbins=nbins, hist_range=hist_range, track_matrix=track_matrix,
+        orthorhombic=orthorhombic,
     )
 
     box = jnp.concatenate([
-        jnp.asarray(box_lengths, jnp.float32).reshape(3),
-        jnp.zeros(1, jnp.float32),
+        jnp.asarray(cell_h, jnp.float32).reshape(9),
+        jnp.asarray(cell_hinv, jnp.float32).reshape(9),
     ])
     ints = jnp.stack([
         jnp.asarray(frame0, jnp.int32), jnp.asarray(tile_offset, jnp.int32)
@@ -660,7 +676,8 @@ def run_block_topk(
         rep.clock.event_count,
         params,
         jnp.int32(frame0),
-        jnp.diagonal(model.cell.h),
+        model.cell.h,
+        model.cell.h_inv,
         tile_offset,
         jump_hist=rep.jump_hist if nbins else None,
         exposure=rep.opportunity_hist if nbins else None,
@@ -675,4 +692,5 @@ def run_block_topk(
         nbins=nbins,
         hist_range=tuple(hist_range),
         track_matrix=track_matrix,
+        orthorhombic=bool(model.cell.orthorhombic),
     )

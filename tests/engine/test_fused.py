@@ -40,8 +40,8 @@ def test_fused_supported_gate():
         8, 3, 4, Constant(a=jnp.float32(0.02)), 100.0, 0.0, [20.0] * 3
     )
     assert fused.fused_supported(model, cell, ens)
-    # triclinic dense models route to the streamed-W kernel (round 2); only
-    # the top-K family still needs an orthorhombic cell
+    # triclinic cells are fully fused-supported (round 2): dense models route
+    # to the streamed-W kernel, top-K kernels carry the h/h^-1 minimum image
     tri = Cell.triclinic([[10, 0, 0], [3, 9, 0], [0, 0, 8]])
     assert fused.fused_supported(model, tri, ens)
     from cmdlmc_tpu.topo.models import TopKPairRates
@@ -49,7 +49,7 @@ def test_fused_supported_gate():
     topk = TopKPairRates(
         cell=tri, law=model.law, cutoff=model.cutoff, buffer=model.buffer, k=4
     )
-    assert not fused.fused_supported(topk, tri, ens)
+    assert fused.fused_supported(topk, tri, ens)
 
 
 def test_pick_tile():

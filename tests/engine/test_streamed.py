@@ -158,6 +158,84 @@ def test_triclinic_event_rate_and_invariants():
     assert abs(z) < 5, (counts.mean(), expected, z)
 
 
+def test_triclinic_topk_event_rate_and_jump_vector():
+    """Triclinic TopKPairRates on the fused top-K kernel: expected event count
+    under a Constant law and exact minimum-image displacements (round-2 gate
+    widening — the kernel carries the h/h^-1 round-based minimum image)."""
+    from cmdlmc_tpu.topo.models import TopKPairRates
+
+    tri = Cell.triclinic([[12, 0, 0], [4, 11, 0], [1, 0, 10]])
+    n_sites, n_protons, R, F = 10, 4, 32, 200
+    a, dt = 0.04, 0.5
+    rng = np.random.RandomState(3)
+    positions = rng.uniform(0, 8.0, size=(n_sites, 3)).astype(np.float32)
+    model = TopKPairRates(
+        cell=tri, law=Constant(a=jnp.float32(a)),
+        cutoff=jnp.float32(100.0), buffer=jnp.float32(0.0), k=n_sites - 1,
+    )
+    assert fused.fused_supported(model, tri, None)
+    key = jax.random.key(0)
+    ens = eng.init_replicas(
+        jax.random.fold_in(key, 0), R, n_sites, n_protons, jnp.asarray(positions)
+    )
+    block = jnp.broadcast_to(jnp.asarray(positions), (F, n_sites, 3))
+    ens2 = fused.run_block_fused(
+        model, tri, ens, block, 0, dt=dt, seed=5, tile=16, interpret=True
+    )
+    rep = ens2.replicas
+    occ = np.asarray(rep.occ)
+    np.testing.assert_allclose(occ.sum(axis=1), n_protons, atol=1e-5)
+    counts = np.asarray(rep.clock.event_count, float)
+    expected = a * n_protons * (n_sites - n_protons) * dt * F
+    z = (counts.mean() - expected) / np.sqrt(expected / R)
+    assert abs(z) < 5, (counts.mean(), expected, z)
+    # displacements must be consistent: total proton displacement equals
+    # disp_base + site_disp[site] with site_disp == 0 (static frames)
+    np.testing.assert_allclose(np.asarray(ens2.site_disp), 0.0, atol=1e-5)
+
+
+def test_triclinic_topk_matches_scan_distributionally():
+    """Triclinic top-K fused vs scan engine: matching mean event rates and
+    MSD scale over many replicas (different RNG streams)."""
+    from cmdlmc_tpu.topo.models import TopKPairRates
+
+    tri = Cell.triclinic([[11, 0, 0], [3, 10, 0], [0, 1, 9]])
+    n_sites, n_protons, R, F = 16, 6, 48, 60
+    rng = np.random.RandomState(7)
+    positions = rng.uniform(0, 7.5, size=(n_sites, 3)).astype(np.float32)
+    frames = (positions[None] + rng.normal(
+        scale=0.03, size=(F, n_sites, 3))).astype(np.float32)
+    model = TopKPairRates(
+        cell=tri, law=Fermi(a=jnp.float32(0.15), b=jnp.float32(2.6),
+                            c=jnp.float32(0.2)),
+        cutoff=jnp.float32(3.5), buffer=jnp.float32(1.0), k=8,
+    )
+    key = jax.random.key(1)
+    ens = eng.init_replicas(
+        jax.random.fold_in(key, 0), R, n_sites, n_protons, jnp.asarray(positions)
+    )
+    fused_out = fused.run_block_fused(
+        model, tri, ens, jnp.asarray(frames), 0, dt=0.5, seed=9, tile=16,
+        interpret=True,
+    )
+    from cmdlmc_tpu.topo.models import Frame
+
+    idx = jnp.arange(F, dtype=jnp.int32)
+    fr = Frame(donors=jnp.asarray(frames), extras=None,
+               time=idx.astype(jnp.float32) * 0.5, index=idx)
+    keys = jax.random.split(jax.random.fold_in(key, 1), R)
+    scan_out, _ = eng.run_block(
+        model, tri, ens, keys, fr, dt=0.5, max_events=4, reset_frequency=0
+    )
+    ev_f = np.asarray(fused_out.replicas.clock.event_count, float)
+    ev_s = np.asarray(scan_out.replicas.clock.event_count, float)
+    # same mean event rate within 5 sigma of the cross-replica spread
+    se = np.sqrt((ev_f.var() + ev_s.var()) / R)
+    assert abs(ev_f.mean() - ev_s.mean()) < 5 * max(se, 1e-9), (
+        ev_f.mean(), ev_s.mean(), se,
+    )
+
+
 def test_triclinic_jump_vector_minimum_image():
     """Two sites across a skewed boundary: the recorded per-proton displacement
     must be the triclinic minimum-image vector (not the raw difference)."""
