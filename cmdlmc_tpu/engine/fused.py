@@ -286,17 +286,14 @@ def run_block_fused_sharded(
     rep0 = ens.replicas
     nbins = rep0.jump_hist.shape[-1]
     kind = ks.law_kind(model.law)
+    track_matrix = rep0.jump_matrix.shape[-1] != 0
     if isinstance(model, (TopKPairRates, HydroniumRates)):
-        raise NotImplementedError(
-            "top-K models shard via the scan engine's GSPMD path "
-            "(parallel/mesh.py); run_block_fused_sharded covers the dense "
-            "kernels"
-        )
-    if rep0.jump_matrix.shape[-1] != 0:
-        raise NotImplementedError(
-            "jump-matrix tracking on the sharded fused path needs a "
-            "cross-shard reduction; use the single-device fused backend or "
-            "the scan GSPMD path"
+        return _run_sharded_topk(
+            model, cell, ens, frames_positions, frame0, mesh,
+            axis=axis, dt=dt, max_events=max_events, seed=seed, tile=tile,
+            interpret=interpret, hist_range=hist_range,
+            tiles_per_dev=tiles_per_dev, nbins=nbins,
+            track_matrix=track_matrix,
         )
     if not cell.orthorhombic or kind is None or (
         isinstance(model, AnglePairRates)
@@ -310,6 +307,7 @@ def run_block_fused_sharded(
             axis=axis, dt=dt, max_events=max_events, seed=seed, tile=tile,
             interpret=interpret, extras_positions=extras_positions,
             hist_range=hist_range, tiles_per_dev=tiles_per_dev, nbins=nbins,
+            track_matrix=track_matrix,
         )
     pgrp = None
     if isinstance(model, AnglePairRates):
@@ -343,17 +341,23 @@ def run_block_fused_sharded(
             interpret=use_interp,
             nbins=nbins,
             hist_range=tuple(hist_range),
+            track_matrix=track_matrix,
         )
         keys = ["occ", "labels", "sites", "tlast", "disp_base", "u_rem",
                 "ev_count", "site_disp", "prev_pos", "trunc"]
         if nbins:
             keys += ["jump_hist", "exposure"]
-        return tuple(out[k] for k in keys)
+        outs = tuple(out[k] for k in keys)
+        if track_matrix:
+            # per-shard tile-summed [N, N] pair counts -> global sum on ICI
+            outs += (jax.lax.psum(out["jump_matrix"], axis),)
+        return outs
 
-    n_out = 12 if nbins else 10
     out_specs = [P(axis)] * 7 + [P(), P(), P(axis)]
     if nbins:
         out_specs += [P(axis), P(axis)]
+    if track_matrix:
+        out_specs += [P()]
     res = jax.shard_map(
         local,
         mesh=mesh,
@@ -381,6 +385,13 @@ def run_block_fused_sharded(
             jnp.asarray(frames_positions, jnp.float32)
         ),
     )
+    return _finish_sharded(ens, res, nbins, track_matrix)
+
+
+def _finish_sharded(ens, res, nbins, track_matrix):
+    """Repack the shard_map result tuple (occ..trunc [+hist/expo] [+jm]) into
+    an EnsembleState."""
+    rep0 = ens.replicas
     (occ, labels, sites, tlast, disp_base, u, evc, s, prev, _trunc) = res[:10]
     jumps_delta = evc - rep0.clock.event_count
     clock = dataclasses.replace(rep0.clock, u_remaining=u, event_count=evc)
@@ -393,9 +404,15 @@ def run_block_fused_sharded(
         clock=clock,
         jumps=rep0.jumps + jumps_delta,
     )
+    idx = 10
     if nbins:
-        updates["jump_hist"] = res[10]
-        updates["opportunity_hist"] = res[11]
+        updates["jump_hist"] = res[idx]
+        updates["opportunity_hist"] = res[idx + 1]
+        idx += 2
+    if track_matrix:
+        updates["jump_matrix"] = rep0.jump_matrix.at[0].add(
+            jnp.round(res[idx]).astype(rep0.jump_matrix.dtype)
+        )
     replicas = dataclasses.replace(rep0, **updates)
     return EnsembleState(replicas=replicas, site_disp=s, prev_pos=prev)
 
@@ -403,7 +420,7 @@ def run_block_fused_sharded(
 def _run_sharded_streamed(
     model, cell, ens, frames_positions, frame0, mesh, *,
     axis, dt, max_events, seed, tile, interpret, extras_positions,
-    hist_range, tiles_per_dev, nbins,
+    hist_range, tiles_per_dev, nbins, track_matrix=False,
 ):
     """Streamed-W dense kernel under shard_map (triclinic cells / laws with
     no in-kernel evaluation). Bit-identical to the single-device streamed run
@@ -446,16 +463,22 @@ def _run_sharded_streamed(
             interpret=use_interp,
             nbins=nbins,
             hist_range=tuple(hist_range),
+            track_matrix=track_matrix,
         )
         keys = ["occ", "labels", "sites", "tlast", "disp_base", "u_rem",
                 "ev_count", "site_disp", "prev_pos", "trunc"]
         if nbins:
             keys += ["jump_hist", "exposure"]
-        return tuple(out[k] for k in keys)
+        outs = tuple(out[k] for k in keys)
+        if track_matrix:
+            outs += (jax.lax.psum(out["jump_matrix"], axis),)
+        return outs
 
     out_specs = [P(axis)] * 7 + [P(), P(), P(axis)]
     if nbins:
         out_specs += [P(axis), P(axis)]
+    if track_matrix:
+        out_specs += [P()]
     res = jax.shard_map(
         local,
         mesh=mesh,
@@ -482,20 +505,110 @@ def _run_sharded_streamed(
         w_block,
         dist_block if dist_block is not None else jnp.zeros((1,), jnp.float32),
     )
-    (occ, labels, sites, tlast, disp_base, u, evc, s, prev, _trunc) = res[:10]
-    jumps_delta = evc - rep0.clock.event_count
-    clock = dataclasses.replace(rep0.clock, u_remaining=u, event_count=evc)
-    updates = dict(
-        occ=occ,
-        proton_of_site=jnp.round(labels).astype(jnp.int32),
-        site_of_proton=sites,
-        t_last_jump=tlast,
-        disp_base=disp_base,
-        clock=clock,
-        jumps=rep0.jumps + jumps_delta,
+    return _finish_sharded(ens, res, nbins, track_matrix)
+
+
+def _run_sharded_topk(
+    model, cell, ens, frames_positions, frame0, mesh, *,
+    axis, dt, max_events, seed, tile, interpret, hist_range, tiles_per_dev,
+    nbins, track_matrix=False,
+):
+    """Top-K fused kernels under shard_map: stage-1 candidate tables are
+    replica-independent (built once, replicated); the kernel shards over
+    replicas with per-shard tile-id offsets. ``tlast_site`` is recomputed per
+    shard from local state (ops/topk_sweep._entry_tlast_site)."""
+    from jax.sharding import PartitionSpec as P
+
+    from cmdlmc_tpu.ops import topk_sweep as ts
+
+    rep0 = ens.replicas
+    reason = ts.topk_unsupported_reason(model)
+    if reason:
+        raise ValueError(reason)
+    use_interp = bool(
+        interpret if interpret is not None else jax.default_backend() != "tpu"
     )
+    positions = jnp.asarray(frames_positions, jnp.float32)
+    k_cand = min(int(model.k), positions.shape[1] - 1)
+    has_interp = (
+        isinstance(model, HydroniumRates) and model.interpolator is not None
+    )
+    relax = jnp.float32(
+        model.interpolator.relaxation_time if has_interp else 0.0
+    )
+    topd, topi, resc = ts.topk_tables(
+        model, positions, ts._pad_k(k_cand), not has_interp
+    )
+    params = jnp.concatenate([
+        ks.law_params_array(model.law), jnp.stack([relax, jnp.float32(0.0)])
+    ])
+
+    def local(occ, labels, sites, tlast, disp_base, u, evc, hist, expo,
+              site_disp, prev_pos, pos, td, ti, rs):
+        idx = jax.lax.axis_index(axis)
+        p_idx = jnp.maximum(jnp.round(labels).astype(jnp.int32) - 1, 0)
+        tls = jnp.take_along_axis(tlast, p_idx, axis=1)
+        tlast_site = jnp.where((occ > 0) & (tls >= 0), tls, -1.0)
+        out = ts.topk_sweep(
+            pos, td, ti, rs,
+            prev_pos, site_disp,
+            occ, labels, sites, tlast, tlast_site, disp_base, u, evc,
+            params,
+            jnp.int32(frame0),
+            cell.h, cell.h_inv,
+            idx * tiles_per_dev,
+            jump_hist=hist if nbins else None,
+            exposure=expo if nbins else None,
+            kind=ks.law_kind(model.law),
+            k_cand=k_cand,
+            tile=tile,
+            max_events=max_events,
+            dt=float(dt),
+            seed=int(seed),
+            has_interp=bool(has_interp),
+            interpret=use_interp,
+            nbins=nbins,
+            hist_range=tuple(hist_range),
+            track_matrix=track_matrix,
+            orthorhombic=bool(cell.orthorhombic),
+        )
+        keys = ["occ", "labels", "sites", "tlast", "disp_base", "u_rem",
+                "ev_count", "site_disp", "prev_pos", "trunc"]
+        if nbins:
+            keys += ["jump_hist", "exposure"]
+        outs = tuple(out[k] for k in keys)
+        if track_matrix:
+            outs += (jax.lax.psum(out["jump_matrix"], axis),)
+        return outs
+
+    out_specs = [P(axis)] * 7 + [P(), P(), P(axis)]
     if nbins:
-        updates["jump_hist"] = res[10]
-        updates["opportunity_hist"] = res[11]
-    replicas = dataclasses.replace(rep0, **updates)
-    return EnsembleState(replicas=replicas, site_disp=s, prev_pos=prev)
+        out_specs += [P(axis), P(axis)]
+    if track_matrix:
+        out_specs += [P()]
+    res = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+            P(axis), P(axis),
+            P(), P(), P(), P(), P(), P(),
+        ),
+        out_specs=tuple(out_specs),
+        check_vma=False,
+    )(
+        rep0.occ,
+        rep0.proton_of_site.astype(jnp.float32),
+        rep0.site_of_proton,
+        rep0.t_last_jump,
+        rep0.disp_base,
+        rep0.clock.u_remaining,
+        rep0.clock.event_count,
+        rep0.jump_hist,
+        rep0.opportunity_hist,
+        ens.site_disp,
+        ens.prev_pos,
+        positions,
+        topd, topi, resc,
+    )
+    return _finish_sharded(ens, res, nbins, track_matrix)

@@ -61,6 +61,87 @@ def test_sharded_fused_matches_single_device():
     assert not sharded.replicas.occ.sharding.is_fully_replicated
 
 
+def test_sharded_topk_matches_single_device():
+    """TopKPairRates under shard_map equals the single-device top-K run
+    (tables replicated, per-shard tile-id offsets, tlast_site recomputed)."""
+    from cmdlmc_tpu.parallel.mesh import shard_ensemble
+    from cmdlmc_tpu.topo.models import TopKPairRates
+
+    assert len(jax.devices()) == 8
+    mesh = replica_mesh()
+    R, N, P, F, tile = 32, 12, 4, 40, 4
+    rng = np.random.RandomState(4)
+    positions = rng.uniform(0, 8, size=(N, 3)).astype(np.float32)
+    frames = (positions[None] + rng.normal(scale=0.03, size=(F, N, 3))).astype(
+        np.float32
+    )
+    cell = Cell.cubic([9.0, 9.0, 9.0])
+    model = TopKPairRates(
+        cell=cell, law=Fermi(a=jnp.float32(0.08), b=jnp.float32(2.8),
+                             c=jnp.float32(0.3)),
+        cutoff=jnp.float32(3.0), buffer=jnp.float32(1.5), k=6,
+    )
+    key = jax.random.key(5)
+    ens = eng.init_replicas(jax.random.fold_in(key, 0), R, N, P,
+                            jnp.asarray(positions))
+    single = fused.run_block_fused(
+        model, cell, ens, jnp.asarray(frames), 0, dt=0.5, seed=11, tile=tile,
+        interpret=True,
+    )
+    sharded = fused.run_block_fused_sharded(
+        model, cell, shard_ensemble(ens, mesh), jnp.asarray(frames), 0, mesh,
+        dt=0.5, seed=11, tile=tile, interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(single.replicas.clock.event_count),
+        np.asarray(sharded.replicas.clock.event_count),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(single.replicas.site_of_proton),
+        np.asarray(sharded.replicas.site_of_proton),
+    )
+    np.testing.assert_allclose(
+        np.asarray(single.replicas.disp_base),
+        np.asarray(sharded.replicas.disp_base), atol=1e-6,
+    )
+
+
+def test_sharded_jump_matrix_psum():
+    """Jump-matrix tracking on the sharded dense path: the cross-shard psum
+    must reproduce the single-device pair-count matrix exactly."""
+    from cmdlmc_tpu.parallel.mesh import shard_ensemble
+
+    assert len(jax.devices()) == 8
+    mesh = replica_mesh()
+    R, N, P, F, tile = 32, 12, 4, 30, 4
+    rng = np.random.RandomState(6)
+    positions = rng.uniform(0, 8, size=(N, 3)).astype(np.float32)
+    frames = (positions[None] + rng.normal(scale=0.03, size=(F, N, 3))).astype(
+        np.float32
+    )
+    cell = Cell.cubic([9.0, 9.0, 9.0])
+    model = PairRates(
+        cell=cell, law=Fermi(a=jnp.float32(0.08), b=jnp.float32(2.8),
+                             c=jnp.float32(0.3)),
+        cutoff=jnp.float32(3.0), buffer=jnp.float32(1.5),
+    )
+    key = jax.random.key(7)
+    ens = eng.init_replicas(jax.random.fold_in(key, 0), R, N, P,
+                            jnp.asarray(positions), track_jump_matrix=True)
+    single = fused.run_block_fused(
+        model, cell, ens, jnp.asarray(frames), 0, dt=0.5, seed=3, tile=tile,
+        interpret=True,
+    )
+    sharded = fused.run_block_fused_sharded(
+        model, cell, shard_ensemble(ens, mesh), jnp.asarray(frames), 0, mesh,
+        dt=0.5, seed=3, tile=tile, interpret=True,
+    )
+    jm_single = np.asarray(single.replicas.jump_matrix).sum(axis=0)
+    jm_sharded = np.asarray(sharded.replicas.jump_matrix).sum(axis=0)
+    assert jm_single.sum() > 0
+    np.testing.assert_array_equal(jm_single, jm_sharded)
+
+
 def test_sharded_streamed_triclinic_matches_single_device():
     """Triclinic dense model: run_block_fused_sharded routes the streamed-W
     kernel; must equal the single-device streamed run bit-for-bit in events."""
