@@ -77,7 +77,7 @@ def step(state, frame0):
     occ, lab, sites, tlast, tls, db, u, evc, sd, pp = state
     out = ts.topk_sweep(
         blocks[0], topd, topi, resc, pp, sd, occ, lab, sites, tlast, tls, db,
-        u, evc, params, jnp.int32(frame0), jnp.diagonal(model.cell.h), 0,
+        u, evc, params, jnp.int32(frame0), model.cell.h, model.cell.h_inv, 0,
         kind=0, k_cand=args.k, tile=args.tile, max_events=args.max_events,
         dt=0.5, seed=3, has_interp=False, interpret=jax.default_backend() != "tpu",
     )
