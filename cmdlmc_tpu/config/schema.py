@@ -210,6 +210,7 @@ class EngineSection:
     checkpoint_interval: int = 0  # blocks between checkpoints (0 = end only)
     backend: str = "auto"  # auto | fused | scan (fused = Pallas sweep kernel)
     equilibration_sweeps: int = 0  # frames before observables start (legacy)
+    tile: Optional[int] = None  # fused replica-tile size; None = auto (128)
 
 
 _SECTIONS = {

@@ -206,6 +206,13 @@ class Simulation:
             raise ValueError("proton_number must be >= 1")
         if cfg.engine.replicas < 1:
             raise ValueError("[Engine] replicas must be >= 1")
+        if cfg.engine.tile is not None and (
+            cfg.engine.tile < 1 or cfg.engine.replicas % cfg.engine.tile
+        ):
+            raise ValueError(
+                f"[Engine] tile ({cfg.engine.tile}) must divide "
+                f"replicas ({cfg.engine.replicas})"
+            )
         self.cfg = cfg
         self.cell = build_cell(cfg)
         self.law = build_law(cfg)
@@ -390,6 +397,7 @@ class Simulation:
                         dt=self.dt,
                         max_events=cfg.engine.max_events_per_frame,
                         seed=cfg.engine.seed,
+                        tile=cfg.engine.tile,
                         return_truncation=True,
                         extras_positions=(
                             frames.extras[lo:hi]

@@ -20,7 +20,7 @@ def make_traj(tmp_path, n_frames=40):
     return path
 
 
-def config(traj, backend):
+def config(traj, backend, extra="", replicas=4):
     return f"""
 [Trajectory]
 type = XYZTrajectory
@@ -52,10 +52,11 @@ type = ObservablesOutput
 print_frequency = 10
 
 [Engine]
-replicas = 4
+replicas = {replicas}
 seed = 7
 block_size = 10
 backend = {backend}
+{extra}
 """
 
 
@@ -83,3 +84,30 @@ def test_fused_backend_output(tmp_path):
     # Scan emits at frames 0,10,20,30; fused at block ends 10,20,30,40 — same
     # count, comparable magnitudes at the shared cadence.
     assert len(rows2) == 4
+
+
+def test_engine_tile_knob_routes_streamed(tmp_path):
+    """[Engine] tile=2 with 64 replicas = 32 tiles >= the streamed auto-select
+    threshold: the driver runs the streamed-W kernel end to end."""
+    traj = make_traj(tmp_path)
+    out = io.StringIO()
+    run_from_config(
+        io.StringIO(config(traj, "fused", extra="tile = 2", replicas=64)),
+        out=out,
+    )
+    rows = rows_of(out.getvalue())
+    assert len(rows) == 4
+    arr = np.array(rows)
+    assert np.all(np.isfinite(arr))
+    assert arr[-1, 6] > 0  # jumps happened
+
+
+def test_engine_tile_must_divide_replicas(tmp_path):
+    import pytest
+
+    traj = make_traj(tmp_path)
+    with pytest.raises(ValueError, match="tile"):
+        run_from_config(
+            io.StringIO(config(traj, "fused", extra="tile = 3")),
+            out=io.StringIO(),
+        )
