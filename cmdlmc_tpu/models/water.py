@@ -391,3 +391,94 @@ def run_water_block_fused(
     if return_truncation:
         return new_states, s_out, prev_out, trunc
     return new_states, s_out, prev_out
+
+
+def run_water_block_fused_sharded(
+    model: WaterModel,
+    states: WaterState,
+    positions_block,  # [B, N, 3] (replicated)
+    frame0: int,
+    mesh,
+    *,
+    axis: str = "replica",
+    site_disp,  # [N, 3]
+    prev_pos,  # [N, 3]
+    dt: float,
+    max_events: int = 4,
+    seed: int = 0,
+    tile: int | None = None,
+    interpret: bool | None = None,
+):
+    """Multi-chip water sweep: shard the replica axis over the mesh and run
+    the water kernel per device under shard_map. Tile ids are offset per
+    shard, so results are bit-identical to a single-device run with the same
+    tile size (same contract as engine/fused.run_block_fused_sharded)."""
+    from jax.sharding import PartitionSpec as P
+
+    from cmdlmc_tpu.engine.fused import pick_tile
+    from cmdlmc_tpu.ops import kmc_sweep as ks
+    from cmdlmc_tpu.ops import water_sweep as ws
+
+    n_dev = mesh.shape[axis]
+    R = states.site.shape[0]
+    assert R % n_dev == 0, (R, n_dev)
+    local_r = R // n_dev
+    if tile is None:
+        tile = pick_tile(local_r, n_sites=positions_block.shape[1])
+    assert local_r % tile == 0, (local_r, tile)
+    tiles_per_dev = local_r // tile
+    use_interp = bool(
+        interpret if interpret is not None else jax.default_backend() != "tpu"
+    )
+    tkind, tparams = _transform_spec(model)
+    positions = jnp.asarray(positions_block, jnp.float32)
+    site_disp = jnp.asarray(site_disp, jnp.float32)
+    prev_pos = jnp.asarray(prev_pos, jnp.float32)
+
+    def local(site, last, fsj, wait, jumps, evc, u, corr, disp,
+              sd, pp, pos):
+        idx = jax.lax.axis_index(axis)
+        a_in = disp - sd[site] - corr
+        return ws.water_sweep(
+            pos, pp, sd,
+            site, last, fsj, wait, jumps, evc, u, corr, a_in,
+            ks.law_params_array(model.law), tparams,
+            jnp.int32(frame0), jnp.diagonal(model.cell.h),
+            idx * tiles_per_dev,
+            kind=ks.law_kind(model.law), tkind=tkind,
+            k_atoms=model.n_atoms, tile=tile, max_events=max_events,
+            dt=float(dt), seed=int(seed),
+            relax=int(model.relaxation_time), waiting=int(model.waiting_time),
+            keep_last=bool(model.keep_last_neighbor_rescaled),
+            d_oh=float(model.d_oh), interpret=use_interp,
+        )
+
+    out_specs = tuple(
+        [P(axis)] * 9 + [P(), P(), P(axis)]
+    )  # site..disp_base sharded; site_disp/prev replicated; trunc sharded
+    (site, last, fsj, wait, jumps, evc, u, corr, a_out, s_out, prev_out,
+     trunc) = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+            P(axis), P(axis),
+            P(), P(), P(),
+        ),
+        out_specs=out_specs,
+        check_vma=False,
+    )(
+        states.site, states.last_site, states.frames_since_jump,
+        states.wait_left, states.jumps, states.clock.event_count,
+        states.clock.u_remaining, states.correction, states.displacement,
+        site_disp, prev_pos, positions,
+    )
+    displacement = a_out + s_out[site] + corr
+    snapshot = prev_out[site] + corr
+    clock = dataclasses.replace(states.clock, u_remaining=u, event_count=evc)
+    new_states = WaterState(
+        site=site, last_site=last, frames_since_jump=fsj, wait_left=wait,
+        correction=corr, clock=clock, jumps=jumps, snapshot=snapshot,
+        displacement=displacement,
+    )
+    return new_states, s_out, prev_out

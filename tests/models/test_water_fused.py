@@ -191,3 +191,41 @@ def test_doh_correction_matches_scan_backend():
             np.testing.assert_allclose(
                 np.abs(disp[r][0]), 2.5 - 2 * d_oh, atol=2e-3
             )
+
+
+def test_sharded_water_matches_single_device():
+    """run_water_block_fused_sharded over the 8-device mesh equals the
+    single-device fused run (per-shard tile-id offsets -> identical RNG)."""
+    from cmdlmc_tpu.parallel.mesh import replica_mesh
+
+    assert len(jax.devices()) == 8
+    mesh = replica_mesh()
+    R, F, tile = 32, 40, 4  # 4 replicas/device, 1 tile/device
+    rng = np.random.RandomState(0)
+    positions = (ring_positions(10) + rng.normal(scale=0.02, size=(10, 3))
+                 ).astype(np.float32)
+    model = make_model(law=Fermi(a=jnp.float32(0.2), b=jnp.float32(2.6),
+                                 c=jnp.float32(0.2)))
+    states, _ = init(model, positions, R)
+    block = jnp.asarray(np.broadcast_to(positions, (F, *positions.shape)))
+    sd = jnp.zeros((10, 3), jnp.float32)
+    pp = jnp.asarray(positions)
+
+    single, s1, p1 = wm.run_water_block_fused(
+        model, states, block, 0, site_disp=sd, prev_pos=pp, dt=0.5, seed=11,
+        tile=tile, interpret=True,
+    )
+    sharded, s2, p2 = wm.run_water_block_fused_sharded(
+        model, states, block, 0, mesh, site_disp=sd, prev_pos=pp, dt=0.5,
+        seed=11, tile=tile, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(single.site), np.asarray(sharded.site))
+    np.testing.assert_array_equal(
+        np.asarray(single.clock.event_count), np.asarray(sharded.clock.event_count)
+    )
+    np.testing.assert_allclose(
+        np.asarray(single.displacement), np.asarray(sharded.displacement),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+    assert np.asarray(sharded.clock.event_count).sum() > 0
