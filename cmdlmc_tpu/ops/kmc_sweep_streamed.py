@@ -49,8 +49,9 @@ Array = jax.Array
 
 def _make_kernel(*, n_sites, n_protons, tile, block, max_events, dt, seed,
                  orthorhombic, nbins=0, hist_range=(2.0, 3.0),
-                 track_matrix=False):
+                 track_matrix=False, pack=1):
     N, P, TR, B = n_sites, n_protons, tile, block
+    TRB = TR * pack  # rows per grid block = pack independent logical tiles
     f32 = jnp.float32
     hist_lo, hist_hi = float(hist_range[0]), float(hist_range[1])
     hist_scale = float(nbins) / max(hist_hi - hist_lo, 1e-12)
@@ -127,7 +128,7 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, dt, seed,
             dbz_out[:] = dbz_ref[:]
             u_out[:] = u_ref[:]
             evc_out[:] = evc_ref[:]
-            trunc_out[:] = jnp.zeros((TR, 1), jnp.int32)
+            trunc_out[:] = jnp.zeros((TRB, 1), jnp.int32)
             if nbins:
                 hist_out[:] = hist_ref[:]
                 expo_out[:] = expo_ref[:]
@@ -153,145 +154,166 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, dt, seed,
             [s_scr[:], post, jnp.zeros((2, N), f32)], axis=0
         )
 
-        def total_rate():
-            occ = occ_out[:]
-            out = jax.lax.dot_general(
-                1.0 - occ, W, (((1,), (1,)), ((), ())),
-                preferred_element_type=f32,
-            )  # contract along W's columns: works for asymmetric W too
-            row = occ * out
-            return row, jnp.sum(row, axis=1, keepdims=True)
-
         frame_idx = frame0 + f
         frame_time = frame_idx.astype(f32) * f32(dt)
 
-        def ev_iter(ev):
-            row, total = total_rate()
-            phase = phase_scr[:]
-            done = done_scr[:]
-            u = u_out[:]
-            budget = total * (f32(dt) - phase)
-            fire = jnp.logical_and(jnp.logical_not(done), u <= budget)
-            fire = jnp.logical_and(fire, budget > 0)
-            safe_total = jnp.where(total > 0, total, 1.0)
-            eph = phase + u / safe_total
-
-            # exponential race (see kmc_sweep.py ev_iter)
-            key1 = _mix_key(seed, tile_id, frame_idx, ev, 1)
-            e1 = -jnp.log(_u01(key1, (TR, N)))
-            src = jnp.argmax(row / e1, axis=1)  # [TR]
-            oh_src = (iota_n == src[:, None]).astype(f32)
-            srcrow = jax.lax.dot_general(
-                oh_src, W, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )
-            vac = 1.0 - occ_out[:]
-            w2 = srcrow * vac
-            key2 = _mix_key(seed, tile_id, frame_idx, ev, 2)
-            e2 = -jnp.log(_u01(key2, (TR, N)))
-            dst = jnp.argmax(w2 / e2, axis=1)
-            oh_dst = (iota_n == dst[:, None]).astype(f32)
-
-            firef = fire.astype(f32)
-            label = jnp.sum(lab_out[:] * oh_src, axis=1, keepdims=True)
-
-            occ_out[:] = occ_out[:] + firef * (oh_dst - oh_src)
-            lab_out[:] = (
-                lab_out[:] * (1.0 - firef * (oh_src + oh_dst))
-                + firef * oh_dst * label
+        def run_subtile(p):
+            # Sub-tile p is a full logical tile of TR replicas with its own
+            # RNG tile id; the pack>1 layout exists to hand the scheduler
+            # several INDEPENDENT event-loop dependency chains per grid step
+            # (the event loop is latency-bound, not throughput-bound).
+            sl = slice(p * TR, (p + 1) * TR)
+            # logical tile id: grid tiles each hold `pack` logical tiles;
+            # ints_ref[1] (sharding offset) counts logical tiles
+            tid = (
+                pl.program_id(0) * pack + p + ints_ref[1]
+                if pack > 1 else tile_id
             )
 
-            moving = jnp.logical_and(site_out[:] == src[:, None], fire)
-            site_out[:] = jnp.where(moving, dst[:, None].astype(jnp.int32),
-                                    site_out[:])
-            t_event = frame_time + eph
-            tlast_out[:] = jnp.where(moving, t_event, tlast_out[:])
+            def total_rate():
+                occ = occ_out[sl]
+                out = jax.lax.dot_general(
+                    1.0 - occ, W, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32,
+                )  # contract along W's columns: works for asymmetric W too
+                row = occ * out
+                return row, jnp.sum(row, axis=1, keepdims=True)
 
-            movingf = moving.astype(f32)
-            db_refs = (dbx_out, dby_out, dbz_out)
-            cdims = (((1,), (1,)), ((), ()))
-            g_src = jax.lax.dot_general(
-                oh_src, coord_scr[:], cdims, preferred_element_type=f32
-            )  # [TR, 8]
-            g_dst = jax.lax.dot_general(
-                oh_dst, coord_scr[:], cdims, preferred_element_type=f32
-            )
-            jumps = minimg3([
-                g_dst[:, 3 + dim : 4 + dim] - g_src[:, 3 + dim : 4 + dim]
-                for dim in range(3)
-            ])
-            jump_sq = jnp.zeros((TR, 1), f32)
-            for dim in range(3):
-                jump_sq = jump_sq + jumps[dim] * jumps[dim]
-                db_refs[dim][:] = db_refs[dim][:] + movingf * (
-                    g_src[:, dim : dim + 1] - g_dst[:, dim : dim + 1]
-                    + jumps[dim]
+            def ev_iter(ev):
+                row, total = total_rate()
+                phase = phase_scr[sl]
+                done = done_scr[sl]
+                u = u_out[sl]
+                budget = total * (f32(dt) - phase)
+                fire = jnp.logical_and(jnp.logical_not(done), u <= budget)
+                fire = jnp.logical_and(fire, budget > 0)
+                safe_total = jnp.where(total > 0, total, 1.0)
+                eph = phase + u / safe_total
+
+                # exponential race (see kmc_sweep.py ev_iter)
+                key1 = _mix_key(seed, tid, frame_idx, ev, 1)
+                e1 = -jnp.log(_u01(key1, (TR, N)))
+                src = jnp.argmax(row / e1, axis=1)  # [TR]
+                oh_src = (iota_n == src[:, None]).astype(f32)
+                srcrow = jax.lax.dot_general(
+                    oh_src, W, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
                 )
+                vac = 1.0 - occ_out[sl]
+                w2 = srcrow * vac
+                key2 = _mix_key(seed, tid, frame_idx, ev, 2)
+                e2 = -jnp.log(_u01(key2, (TR, N)))
+                dst = jnp.argmax(w2 / e2, axis=1)
+                oh_dst = (iota_n == dst[:, None]).astype(f32)
+
+                firef = fire.astype(f32)
+                label = jnp.sum(lab_out[sl] * oh_src, axis=1, keepdims=True)
+
+                occ_out[sl] = occ_out[sl] + firef * (oh_dst - oh_src)
+                lab_out[sl] = (
+                    lab_out[sl] * (1.0 - firef * (oh_src + oh_dst))
+                    + firef * oh_dst * label
+                )
+
+                moving = jnp.logical_and(site_out[sl] == src[:, None], fire)
+                site_out[sl] = jnp.where(
+                    moving, dst[:, None].astype(jnp.int32), site_out[sl]
+                )
+                t_event = frame_time + eph
+                tlast_out[sl] = jnp.where(moving, t_event, tlast_out[sl])
+
+                movingf = moving.astype(f32)
+                db_refs = (dbx_out, dby_out, dbz_out)
+                cdims = (((1,), (1,)), ((), ()))
+                g_src = jax.lax.dot_general(
+                    oh_src, coord_scr[:], cdims, preferred_element_type=f32
+                )  # [TR, 8]
+                g_dst = jax.lax.dot_general(
+                    oh_dst, coord_scr[:], cdims, preferred_element_type=f32
+                )
+                jumps = minimg3([
+                    g_dst[:, 3 + dim : 4 + dim] - g_src[:, 3 + dim : 4 + dim]
+                    for dim in range(3)
+                ])
+                jump_sq = jnp.zeros((TR, 1), f32)
+                for dim in range(3):
+                    jump_sq = jump_sq + jumps[dim] * jumps[dim]
+                    db_refs[dim][sl] = db_refs[dim][sl] + movingf * (
+                        g_src[:, dim : dim + 1] - g_dst[:, dim : dim + 1]
+                        + jumps[dim]
+                    )
+
+                if nbins:
+                    d_evt = jnp.sqrt(jump_sq)
+                    inr = jnp.logical_and(d_evt >= hist_lo, d_evt < hist_hi)
+                    braw = jnp.clip(
+                        ((d_evt - hist_lo) * f32(hist_scale)).astype(jnp.int32),
+                        0, nbins - 1,
+                    )
+                    hist_out[sl] = hist_out[sl] + jnp.logical_and(
+                        jnp.logical_and(iota_b == braw, inr), fire
+                    ).astype(jnp.int32)
+                if track_matrix:
+                    jm_out[0] = jm_out[0] + jax.lax.dot_general(
+                        firef * oh_src, oh_dst, (((0,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    )
+
+                key3 = _mix_key(seed, tid, frame_idx, ev, 3)
+                fresh_u = -jnp.log(_u01(key3, (TR, 1)))
+                u_out[sl] = jnp.where(fire, fresh_u, u)
+                evc_out[sl] = evc_out[sl] + fire.astype(jnp.int32)
+                phase_scr[sl] = jnp.where(fire, eph, phase)
+                done_scr[sl] = jnp.logical_or(done, jnp.logical_not(fire))
+
+            phase_scr[sl] = jnp.zeros((TR, 1), f32)
+            done_scr[sl] = jnp.zeros((TR, 1), jnp.bool_)
+
+            ev_iter(0)
+            for ev in range(1, max_events):
+                any_live = jnp.sum(
+                    jnp.logical_not(done_scr[sl]).astype(jnp.int32)
+                ) > 0
+
+                @pl.when(any_live)
+                def _(ev=ev):
+                    ev_iter(ev)
+
+            trunc_out[sl] = trunc_out[sl] + jnp.logical_not(
+                done_scr[sl]
+            ).astype(jnp.int32)
 
             if nbins:
-                d_evt = jnp.sqrt(jump_sq)
-                inr = jnp.logical_and(d_evt >= hist_lo, d_evt < hist_hi)
+                # distance-binned exposure of allowed transitions under the
+                # post-event occupancy (engine/lattice.py:339-356)
+                dist_full = dist_ref[0]
+                w_pos = W > 0
+                inr = jnp.logical_and(
+                    dist_full >= hist_lo, dist_full < hist_hi
+                )
                 braw = jnp.clip(
-                    ((d_evt - hist_lo) * f32(hist_scale)).astype(jnp.int32),
+                    ((dist_full - hist_lo) * f32(hist_scale)).astype(jnp.int32),
                     0, nbins - 1,
                 )
-                hist_out[:] = hist_out[:] + jnp.logical_and(
-                    jnp.logical_and(iota_b == braw, inr), fire
-                ).astype(jnp.int32)
-            if track_matrix:
-                jm_out[0] = jm_out[0] + jax.lax.dot_general(
-                    firef * oh_src, oh_dst, (((0,), (0,)), ((), ())),
-                    preferred_element_type=f32,
-                )
+                occ = occ_out[sl]
+                vac = 1.0 - occ
+                base = jnp.logical_and(w_pos, inr)
+                for b in range(nbins):
+                    mask_b = jnp.logical_and(base, braw == b).astype(f32)
+                    tmp = jax.lax.dot_general(
+                        occ, mask_b, (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    )
+                    val = jnp.sum(tmp * vac, axis=1, keepdims=True)
+                    expo_out[sl] = expo_out[sl] + jnp.where(
+                        iota_b == b, val, 0.0
+                    )
 
-            key3 = _mix_key(seed, tile_id, frame_idx, ev, 3)
-            fresh_u = -jnp.log(_u01(key3, (TR, 1)))
-            u_out[:] = jnp.where(fire, fresh_u, u)
-            evc_out[:] = evc_out[:] + fire.astype(jnp.int32)
-            phase_scr[:] = jnp.where(fire, eph, phase)
-            done_scr[:] = jnp.logical_or(done, jnp.logical_not(fire))
+            _, total = total_rate()
+            u_out[sl] = u_out[sl] - total * (f32(dt) - phase_scr[sl])
 
-        phase_scr[:] = jnp.zeros((TR, 1), f32)
-        done_scr[:] = jnp.zeros((TR, 1), jnp.bool_)
-
-        ev_iter(0)
-        for ev in range(1, max_events):
-            any_live = jnp.sum(
-                jnp.logical_not(done_scr[:]).astype(jnp.int32)
-            ) > 0
-
-            @pl.when(any_live)
-            def _(ev=ev):
-                ev_iter(ev)
-
-        trunc_out[:] = trunc_out[:] + jnp.logical_not(
-            done_scr[:]
-        ).astype(jnp.int32)
-
-        if nbins:
-            # distance-binned exposure of allowed transitions under the
-            # post-event occupancy (engine/lattice.py:339-356)
-            dist_full = dist_ref[0]
-            w_pos = W > 0
-            inr = jnp.logical_and(dist_full >= hist_lo, dist_full < hist_hi)
-            braw = jnp.clip(
-                ((dist_full - hist_lo) * f32(hist_scale)).astype(jnp.int32),
-                0, nbins - 1,
-            )
-            occ = occ_out[:]
-            vac = 1.0 - occ
-            base = jnp.logical_and(w_pos, inr)
-            for b in range(nbins):
-                mask_b = jnp.logical_and(base, braw == b).astype(f32)
-                tmp = jax.lax.dot_general(
-                    occ, mask_b, (((1,), (0,)), ((), ())),
-                    preferred_element_type=f32,
-                )
-                val = jnp.sum(tmp * vac, axis=1, keepdims=True)
-                expo_out[:] = expo_out[:] + jnp.where(iota_b == b, val, 0.0)
-
-        _, total = total_rate()
-        u_out[:] = u_out[:] - total * (f32(dt) - phase_scr[:])
+        for p in range(pack):
+            run_subtile(p)
 
         @pl.when(tile_id == 0)
         def _():
@@ -305,7 +327,7 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, dt, seed,
     jax.jit,
     static_argnames=(
         "tile", "max_events", "dt", "seed", "orthorhombic", "interpret",
-        "nbins", "hist_range", "track_matrix",
+        "nbins", "hist_range", "track_matrix", "pack",
     ),
 )
 def kmc_sweep_streamed(
@@ -337,15 +359,21 @@ def kmc_sweep_streamed(
     nbins: int = 0,
     hist_range: tuple = (2.0, 3.0),
     track_matrix: bool = False,
+    pack: int = 1,
 ):
     """Run the streamed-W fused sweep over a block; returns the same dict as
-    ops.kmc_sweep.kmc_sweep."""
+    ops.kmc_sweep.kmc_sweep. ``pack`` packs that many independent logical
+    tiles of ``tile`` replicas into one grid step (separate RNG tile ids, so
+    results equal a plain ``tile``-sized run) — the event loop is a serial
+    dependency chain, and multiple chains per step give the instruction
+    scheduler latency-hiding room."""
     B, N, _ = positions.shape
     R = occ.shape[0]
     P = sites.shape[1]
     TR = tile
-    assert R % TR == 0, (R, TR)
-    n_tiles = R // TR
+    TRB = TR * pack
+    assert R % TRB == 0, (R, TR, pack)
+    n_tiles = R // TRB
     grid = (n_tiles, B)  # frames innermost: state stays resident per tile
     if nbins:
         assert dist_block is not None and jump_hist is not None
@@ -353,7 +381,7 @@ def kmc_sweep_streamed(
     kernel = _make_kernel(
         n_sites=N, n_protons=P, tile=TR, block=B, max_events=max_events,
         dt=dt, seed=seed, orthorhombic=orthorhombic, nbins=nbins,
-        hist_range=hist_range, track_matrix=track_matrix,
+        hist_range=hist_range, track_matrix=track_matrix, pack=pack,
     )
 
     geom = jnp.concatenate([
@@ -367,7 +395,7 @@ def kmc_sweep_streamed(
 
     def rep_spec(*shape):
         return pl.BlockSpec(
-            (TR, *shape), lambda t, f: (t,) + (0,) * len(shape),
+            (TRB, *shape), lambda t, f: (t,) + (0,) * len(shape),
             memory_space=pltpu.VMEM,
         )
 
@@ -451,8 +479,8 @@ def kmc_sweep_streamed(
     scratch = [
         pltpu.VMEM((3, N), jnp.float32),  # s_scr
         pltpu.VMEM((3, N), jnp.float32),  # prev_scr
-        pltpu.VMEM((TR, 1), jnp.float32),  # phase
-        pltpu.VMEM((TR, 1), jnp.bool_),  # done
+        pltpu.VMEM((TRB, 1), jnp.float32),  # phase
+        pltpu.VMEM((TRB, 1), jnp.bool_),  # done
         pltpu.VMEM((8, N), jnp.float32),  # coord_scr
     ]
 
@@ -463,12 +491,12 @@ def kmc_sweep_streamed(
     vmem = 2 * (padded(N, N) + padded(3, N))  # w + post, double-buffered
     if nbins:
         vmem += 2 * padded(N, N)  # dist
-    vmem += 4 * padded(TR, N)  # occ, labels in+out
-    vmem += 10 * padded(TR, P)  # sites, tlast, db xyz in+out
-    vmem += 7 * padded(TR, 1)  # u, evc in+out, trunc, phase, done
+    vmem += 4 * padded(TRB, N)  # occ, labels in+out
+    vmem += 10 * padded(TRB, P)  # sites, tlast, db xyz in+out
+    vmem += 7 * padded(TRB, 1)  # u, evc in+out, trunc, phase, done
     vmem += 6 * padded(3, N) + padded(8, N)  # s0/prev in+out, scratch, coord
     if nbins:
-        vmem += 4 * padded(TR, nbins)
+        vmem += 4 * padded(TRB, nbins)
     if track_matrix:
         vmem += padded(N, N)
     vmem_limit = limit_bytes(vmem)
