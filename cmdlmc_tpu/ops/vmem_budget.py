@@ -32,4 +32,4 @@ def limit_bytes(total: int, headroom: float = 1.5, cap: int = 100 << 20) -> int:
     staging), so apply 50% headroom + 8 MB slack; never drop below the 16 MB
     default (the estimate is a floor, not an exact count) and stay under
     100 MB to leave room for the runtime's reservations."""
-    return min(max(int(total * headroom) + (8 << 20), 16 << 20), cap)
+    return min(max(int(total * headroom) + (12 << 20), 16 << 20), cap)
