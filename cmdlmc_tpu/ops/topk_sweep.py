@@ -361,7 +361,9 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
                 [s_scr[:], post, jnp.zeros((2, N), f32)], axis=0
             )
 
-            # occ[nbr_k] via one-hot MXU gather: G_k[j, i] = (j == nbr_k[i])
+            # occ[nbr_k] via one-hot MXU gather: G_k[j, i] = (j == nbr_k[i]).
+            # (bf16 operands measured identical at N=4608 — the gather matmul
+            # is not the bottleneck; the kernel is VPU-bound here too.)
             occ = occ_out[:]
             for k in range(K):
                 g_k = (
