@@ -180,7 +180,6 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
         prev_scr[:] = prev_ref[:]
 
         iota_n = jax.lax.broadcasted_iota(jnp.int32, (TR, N), 1)
-        iota_nn0 = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
         if nbins:
             iota_b = jax.lax.broadcasted_iota(jnp.int32, (TR, nbins), 1)
 
@@ -362,17 +361,23 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
             )
 
             # occ[nbr_k] via one-hot MXU gather: G_k[j, i] = (j == nbr_k[i]).
-            # (bf16 operands measured identical at N=4608 — the gather matmul
-            # is not the bottleneck; the kernel is VPU-bound here too.)
+            # Column-chunked so the one-hot temporaries stay [N, CB]-sized —
+            # at supercell N a full [N, N] intermediate (85 MB at N=4608)
+            # would spill past VMEM and turn the gather traffic-bound.
             occ = occ_out[:]
+            CB = min(N, 512)
             for k in range(K):
-                g_k = (
-                    iota_nn0 == topi[k : k + 1, :].astype(jnp.int32)
-                ).astype(f32)  # [N, N]
-                occn[k][:] = jax.lax.dot_general(
-                    occ, g_k, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+                t_k = topi[k : k + 1, :].astype(jnp.int32)  # [1, N]
+                for c0 in range(0, N, CB):
+                    cb = min(CB, N - c0)
+                    g_c = (
+                        jax.lax.broadcasted_iota(jnp.int32, (N, cb), 0)
+                        == t_k[:, c0 : c0 + cb]
+                    ).astype(f32)  # [N, cb]
+                    occn[k][:, c0 : c0 + cb] = jax.lax.dot_general(
+                        occ, g_c, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
 
             frame_idx = frame0 + f
             frame_time = frame_idx.astype(f32) * f32(dt)
