@@ -381,9 +381,9 @@ def run_block_fused_sharded(
         ens.site_disp,
         ens.prev_pos,
         jnp.asarray(frames_positions, jnp.float32),
-        pgrp if pgrp is not None else jnp.zeros_like(
-            jnp.asarray(frames_positions, jnp.float32)
-        ),
+        # tiny placeholder when no angle topology: local() ignores it, and a
+        # block-sized zeros dummy would be replicated to every device
+        pgrp if pgrp is not None else jnp.zeros((1,), jnp.float32),
     )
     return _finish_sharded(ens, res, nbins, track_matrix)
 
@@ -546,9 +546,7 @@ def _run_sharded_topk(
     def local(occ, labels, sites, tlast, disp_base, u, evc, hist, expo,
               site_disp, prev_pos, pos, td, ti, rs):
         idx = jax.lax.axis_index(axis)
-        p_idx = jnp.maximum(jnp.round(labels).astype(jnp.int32) - 1, 0)
-        tls = jnp.take_along_axis(tlast, p_idx, axis=1)
-        tlast_site = jnp.where((occ > 0) & (tls >= 0), tls, -1.0)
+        tlast_site = ts.entry_tlast_site(occ, labels, tlast)
         out = ts.topk_sweep(
             pos, td, ti, rs,
             prev_pos, site_disp,

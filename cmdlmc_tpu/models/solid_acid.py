@@ -107,6 +107,10 @@ class SolidAcidModel:
                 self.rate_model, self.cell, self.ensemble,
                 jnp.asarray(donor_positions, jnp.float32), frame0,
                 dt=self.dt, max_events=max_events, seed=self.seed,
+                extras_positions=(
+                    None if extras is None
+                    else jnp.asarray(extras, jnp.float32)
+                ),
             )
             return None
         pos = jnp.asarray(donor_positions, jnp.float32)

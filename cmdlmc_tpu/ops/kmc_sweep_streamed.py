@@ -315,7 +315,11 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, dt, seed,
         for p in range(pack):
             run_subtile(p)
 
-        @pl.when(tile_id == 0)
+        # first LOCAL tile writes the shared buffers: tile_id
+        # includes the shard's tile offset, so guarding on it would
+        # leave every shard but the first with stale/garbage
+        # site_disp/prev_pos copies that GSPMD reads locally
+        @pl.when(pl.program_id(0) == 0)
         def _():
             s_out[:] = s_scr[:]
             prev_out[:] = prev_scr[:]

@@ -430,7 +430,11 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
 
         jax.lax.fori_loop(0, B, frame_body, 0)
 
-        @pl.when(tile_id == 0)
+        # first LOCAL tile writes the shared buffers: tile_id
+        # includes the shard's tile offset, so guarding on it would
+        # leave every shard but the first with stale/garbage
+        # site_disp/prev_pos copies that GSPMD reads locally
+        @pl.when(pl.program_id(0) == 0)
         def _():
             s_out[:] = s_scr[:]
             prev_out[:] = prev_scr[:]
@@ -628,14 +632,19 @@ def topk_sweep(
     return out
 
 
-def _entry_tlast_site(rep):
+def entry_tlast_site(occ, proton_of_site, t_last_jump):
     """[R, N] last-jump time of the occupying proton (-1 where unoccupied or
     never jumped) — recomputed at every block entry, so it never needs to be
-    checkpointed."""
-    p_idx = jnp.maximum(rep.proton_of_site - 1, 0)  # [R, N]
-    tls = jnp.take_along_axis(rep.t_last_jump, p_idx, axis=1)
-    occupied = rep.occ > 0
-    return jnp.where(occupied & (tls >= 0), tls, -1.0)
+    checkpointed. ``proton_of_site`` may be the kernel's float labels."""
+    p_idx = jnp.maximum(
+        jnp.round(proton_of_site).astype(jnp.int32) - 1, 0
+    )  # [R, N]
+    tls = jnp.take_along_axis(t_last_jump, p_idx, axis=1)
+    return jnp.where((occ > 0) & (tls >= 0), tls, -1.0)
+
+
+def _entry_tlast_site(rep):
+    return entry_tlast_site(rep.occ, rep.proton_of_site, rep.t_last_jump)
 
 
 def run_block_topk(

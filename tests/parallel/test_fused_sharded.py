@@ -61,6 +61,60 @@ def test_sharded_fused_matches_single_device():
     assert not sharded.replicas.occ.sharding.is_fully_replicated
 
 
+def test_sharded_two_blocks_site_disp_stays_correct():
+    """Regression: the kernels' shared site_disp/prev_pos outputs must be
+    written by the first LOCAL tile of every shard (guarding on the global
+    tile id leaves shards k>0 with garbage local copies that GSPMD consumes
+    on the next block). Two blocks of drifting frames, streamed + in-kernel."""
+    from cmdlmc_tpu.parallel.mesh import shard_ensemble
+
+    assert len(jax.devices()) == 8
+    mesh = replica_mesh()
+    R, N, P, F, tile = 32, 12, 4, 24, 4
+    rng = np.random.RandomState(9)
+    positions = rng.uniform(0, 8, size=(N, 3)).astype(np.float32)
+    frames = np.cumsum(
+        rng.normal(scale=0.05, size=(2 * F, N, 3)), axis=0
+    ).astype(np.float32) + positions[None]
+    cell = Cell.cubic([9.0, 9.0, 9.0])
+    model = PairRates(
+        cell=cell, law=Fermi(a=jnp.float32(0.08), b=jnp.float32(2.8),
+                             c=jnp.float32(0.3)),
+        cutoff=jnp.float32(3.0), buffer=jnp.float32(1.5),
+    )
+    key = jax.random.key(5)
+    ens0 = eng.init_replicas(jax.random.fold_in(key, 0), R, N, P,
+                             jnp.asarray(positions))
+
+    single = ens0
+    for b in range(2):
+        single = fused.run_block_fused(
+            model, cell, single, jnp.asarray(frames[b * F:(b + 1) * F]),
+            b * F, dt=0.5, seed=11, tile=tile, interpret=True,
+        )
+    sharded = shard_ensemble(ens0, mesh)
+    for b in range(2):
+        sharded = fused.run_block_fused_sharded(
+            model, cell, sharded, jnp.asarray(frames[b * F:(b + 1) * F]),
+            b * F, mesh, dt=0.5, seed=11, tile=tile, interpret=True,
+        )
+    assert np.abs(np.asarray(single.site_disp)).max() > 0  # frames drifted
+    np.testing.assert_allclose(
+        np.asarray(single.site_disp), np.asarray(sharded.site_disp), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(single.prev_pos), np.asarray(sharded.prev_pos), atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(single.replicas.clock.event_count),
+        np.asarray(sharded.replicas.clock.event_count),
+    )
+    np.testing.assert_allclose(
+        np.asarray(single.replicas.disp_base),
+        np.asarray(sharded.replicas.disp_base), atol=1e-5,
+    )
+
+
 def test_sharded_topk_matches_single_device():
     """TopKPairRates under shard_map equals the single-device top-K run
     (tables replicated, per-shard tile-id offsets, tlast_site recomputed)."""

@@ -98,3 +98,26 @@ def test_solid_acid_model_api():
     moments = obs.displacement_moments(model.ensemble)
     assert set(moments) == {2, 4}
     assert np.all(np.asarray(moments[4]) >= 0)
+
+
+def test_solid_acid_angle_fused_backend_forwards_extras():
+    """Round-2 review regression: backend="fused" with an angle-gated model
+    must forward extras_positions to run_block_fused (it used to raise)."""
+    import numpy as np
+
+    from cmdlmc_tpu.models.solid_acid import SolidAcidModel
+
+    rng = np.random.RandomState(0)
+    donors = rng.uniform(0, 9, size=(12, 3)).astype(np.float32)
+    extras = rng.uniform(0, 9, size=(4, 3)).astype(np.float32)
+    model = SolidAcidModel.create(
+        box=[9.0, 9.0, 9.0], first_frame_donors=donors, n_protons=4,
+        fermi_a=0.1, fermi_b=2.5, fermi_c=0.3, dt=0.5, n_replicas=8,
+        angle_theta=1.2, first_frame_extras=extras, group_size=3,
+    )
+    F = 6
+    dblock = donors[None] + rng.normal(scale=0.02, size=(F, 12, 3)).astype(np.float32)
+    eblock = extras[None] + rng.normal(scale=0.02, size=(F, 4, 3)).astype(np.float32)
+    model.advance(dblock, 0, extras=eblock, backend="fused")
+    occ = np.asarray(model.ensemble.replicas.occ)
+    np.testing.assert_allclose(occ.sum(axis=1), 4, atol=1e-5)

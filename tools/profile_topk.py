@@ -46,7 +46,7 @@ blocks = [
 ]
 
 kl = ts._pad_k(args.k)
-tables_j = jax.jit(lambda p: ts.topk_tables(model, p, kl))
+tables_j = jax.jit(lambda p: ts.topk_tables(model, p, kl, True))
 
 
 def sync(x):

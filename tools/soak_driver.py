@@ -96,7 +96,7 @@ replicas = {args.replicas}
 seed = 1
 block_size = {args.block_size}
 checkpoint_path = {os.path.join(work, "soak.ckpt")}
-checkpoint_interval = {10 * args.block_size}
+checkpoint_interval = 10
 """
 cfg_path = os.path.join(work, "soak.ini")
 with open(cfg_path, "w") as f:
