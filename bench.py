@@ -146,6 +146,10 @@ def main():
                 "value": rate,
                 "unit": "site-updates/s",
                 "vs_baseline": rate / NORTH_STAR,
+                # methodology marker: two timed passes over identical staged
+                # blocks, best-of (a tunneled backend adds random host stalls;
+                # the best pass is the honest device rate)
+                "timing": "best_of_2",
             }
         )
     )

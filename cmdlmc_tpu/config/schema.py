@@ -204,7 +204,12 @@ class EngineSection:
     max_events_per_frame: int = 4
     block_size: int = 256
     sweeps: Optional[int] = None  # total frames; None = full trajectory
-    mesh_axis: str = "replica"
+    # Multi-chip: number of devices to shard the replica axis over.
+    # "auto" (default) = all visible devices on a real TPU backend, 1
+    # elsewhere; "all" = all visible devices on any backend; an integer pins
+    # the count. replicas must divide evenly.
+    devices: str = "auto"
+    mesh_axis: str = "replica"  # mesh axis name for the replica dimension
     jumpmatrix_filename: Optional[str] = None  # legacy jumpmatrix capability
     checkpoint_path: Optional[str] = None  # .npz path; resume if it exists
     checkpoint_interval: int = 0  # blocks between checkpoints (0 = end only)

@@ -98,6 +98,26 @@ class Cell:
         """Per-axis box lengths (diagonal for orthorhombic cells)."""
         return jnp.linalg.norm(self.h, axis=0)
 
+    @property
+    def min_height(self) -> float:
+        """Smallest perpendicular distance between opposite cell faces.
+
+        The round-based fractional minimum image (the form the fused kernels
+        use for triclinic cells) is exact only for vectors shorter than half
+        this height; longer vectors need the 27-image search
+        (numpyatom.pyx:101-123). Callers gate kernel applicability on it."""
+        import numpy as _np
+
+        h = _np.asarray(self.h, dtype=_np.float64)
+        a, b, c = h[:, 0], h[:, 1], h[:, 2]
+        volume = abs(_np.dot(a, _np.cross(b, c)))
+        areas = _np.array([
+            _np.linalg.norm(_np.cross(b, c)),
+            _np.linalg.norm(_np.cross(c, a)),
+            _np.linalg.norm(_np.cross(a, b)),
+        ])
+        return float((volume / areas).min())
+
 
 # --------------------------------------------------------------------------------
 # Minimum image / displacement / distance

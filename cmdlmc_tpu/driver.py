@@ -213,11 +213,28 @@ class Simulation:
                 f"[Engine] tile ({cfg.engine.tile}) must divide "
                 f"replicas ({cfg.engine.replicas})"
             )
+        d = str(cfg.engine.devices).strip().lower()
+        if d not in ("auto", "all"):
+            try:
+                n = int(d)
+            except ValueError:
+                raise ValueError(
+                    f"[Engine] devices must be 'auto', 'all' or an integer, "
+                    f"got {cfg.engine.devices!r}"
+                ) from None
+            if n < 1:
+                raise ValueError("[Engine] devices must be >= 1")
         self.cfg = cfg
         self.cell = build_cell(cfg)
         self.law = build_law(cfg)
         self.trajectory = build_trajectory(cfg)
-        self.dt = float(cfg.kmc.time_step or cfg.trajectory.time_step)
+        # Effective KMC time step: frame subsampling (legacy skip_frames) does
+        # not compress physical time — each used frame covers the full
+        # interval of the stride (IO/config_parser.py:196-202), so dt scales
+        # by the stride.
+        self.dt = float(cfg.kmc.time_step or cfg.trajectory.time_step) * max(
+            int(cfg.trajectory.stride), 1
+        )
         self.box_mult = tuple(cfg.atombox.box_multiplier)
         self._mult_total = int(np.prod(self.box_mult))
         # jump-statistics knobs (jumpstat CLI / jumpmatrix capability)
@@ -231,6 +248,43 @@ class Simulation:
         # compile; exclude it from the sustained rate)
         self._steady_t0 = None
         self._steady_frames0 = 0
+
+    # -- multi-chip -------------------------------------------------------------
+
+    def _resolve_mesh(self):
+        """Build the replica mesh from [Engine] devices / mesh_axis, or None
+        for a single-device run. 'auto' engages every visible chip on a real
+        TPU backend (SURVEY.md §5.8: the replica axis is this framework's
+        first-class scaling axis) and stays single-device elsewhere, so CPU
+        test runs only shard when asked to ('all' or an integer)."""
+        e = self.cfg.engine
+        spec = str(e.devices).strip().lower()
+        avail = jax.devices()
+        if spec == "auto":
+            n = len(avail) if jax.default_backend() == "tpu" else 1
+        elif spec == "all":
+            n = len(avail)
+        else:
+            n = int(spec)
+        if n > len(avail):
+            raise ValueError(
+                f"[Engine] devices = {n} but only {len(avail)} devices are "
+                "visible"
+            )
+        if n <= 1:
+            return None
+        if e.replicas % n:
+            raise ValueError(
+                f"[Engine] replicas ({e.replicas}) must be divisible by the "
+                f"device count ({n})"
+            )
+        from cmdlmc_tpu.parallel.mesh import replica_mesh
+
+        logger.info(
+            "Sharding %d replicas over %d devices (axis %r)",
+            e.replicas, n, e.mesh_axis,
+        )
+        return replica_mesh(avail[:n], axis=e.mesh_axis)
 
     # -- streaming --------------------------------------------------------------
 
@@ -289,6 +343,7 @@ class Simulation:
         resume_frame = 0
         blocks_done = 0
         last_frame_done = 0
+        mesh = self._resolve_mesh()
 
         if ckpt_path:
             import os
@@ -346,6 +401,18 @@ class Simulation:
                     keys = jax.random.split(
                         jax.random.fold_in(key, 1), cfg.engine.replicas
                     )
+                if mesh is not None:
+                    # split the replica axis over the mesh (checkpoint-loaded
+                    # states arrive as host arrays and re-shard the same way;
+                    # results are bit-identical to the single-device run —
+                    # fused tile ids are globally offset per shard, and the
+                    # scan engine partitions under GSPMD)
+                    from cmdlmc_tpu.parallel.mesh import (
+                        shard_ensemble, shard_replicas,
+                    )
+
+                    states = shard_ensemble(states, mesh, cfg.engine.mesh_axis)
+                    keys = shard_replicas(keys, mesh, cfg.engine.mesh_axis)
                 from cmdlmc_tpu.engine import fused as eng_fused
 
                 if cfg.engine.backend == "fused":
@@ -388,12 +455,7 @@ class Simulation:
                 ):
                     lo = sub_start - block.start
                     hi = sub_end - block.start
-                    states, trunc = eng_fused.run_block_fused(
-                        model,
-                        self.cell,
-                        states,
-                        frames.donors[lo:hi],
-                        sub_start,
+                    fused_kwargs = dict(
                         dt=self.dt,
                         max_events=cfg.engine.max_events_per_frame,
                         seed=cfg.engine.seed,
@@ -405,6 +467,17 @@ class Simulation:
                         ),
                         hist_range=tuple(self.hist_range),
                     )
+                    if mesh is not None:
+                        states, trunc = eng_fused.run_block_fused_sharded(
+                            model, self.cell, states,
+                            frames.donors[lo:hi], sub_start, mesh,
+                            axis=cfg.engine.mesh_axis, **fused_kwargs,
+                        )
+                    else:
+                        states, trunc = eng_fused.run_block_fused(
+                            model, self.cell, states,
+                            frames.donors[lo:hi], sub_start, **fused_kwargs,
+                        )
                     # accumulate on device; fetched once at end of run (each
                     # host fetch costs a round trip on a tunneled backend)
                     frac = trunc.sum() / (
@@ -548,65 +621,194 @@ class Simulation:
             )
         return states, records
 
+    def _format_xyz(self, pos: np.ndarray, proton_sites: np.ndarray,
+                    frame_no: int) -> str:
+        import io as _io
+
+        cfg = self.cfg
+        if cfg.output.periodic_wrap:
+            from cmdlmc_tpu.core.cell import wrap_positions
+
+            pos = np.asarray(wrap_positions(self.cell, jnp.asarray(pos)))
+        proton_pos = pos[proton_sites]
+        names = [cfg.topology.donor_atoms] * len(pos) + [
+            cfg.output.particle_type
+        ] * len(proton_pos)
+        buf = _io.StringIO()
+        write_xyz_frame(
+            buf, names, np.vstack([pos, proton_pos]),
+            comment=f"frame {frame_no}",
+        )
+        return buf.getvalue().rstrip("\n")
+
     def xyz_rows(self) -> Iterator[str]:
         """XYZOutput mode: donor frames with proton pseudo-atoms of replica 0
-        appended (MDMC.py:173-177)."""
-        import io as _io
+        appended (MDMC.py:173-177). Backend/mesh/checkpoint parity with the
+        observables path: the fused kernel runs span-by-span to each print
+        boundary and replica 0's sites are fetched there; ``backend = fused``
+        is honored (or raises via the same gate), checkpoints resume."""
+        from cmdlmc_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
         cfg = self.cfg
         model = None
         states = None
         keys = None
+        mesh = self._resolve_mesh()
+        ckpt_path = cfg.engine.checkpoint_path
+        resume_frame = 0
+        blocks_done = 0
+        last_frame_done = 0
+        use_fused = None
+
+        if ckpt_path:
+            import os
+
+            if os.path.exists(ckpt_path):
+                states, keys, resume_frame, meta = load_checkpoint(ckpt_path)
+                logger.info("Resuming from %s at frame %d", ckpt_path, resume_frame)
+                fp = meta.get("config_fingerprint")
+                if fp is not None and bytes(fp).decode() != config_fingerprint(cfg):
+                    raise ValueError(
+                        f"Checkpoint {ckpt_path} was written by a run with "
+                        "different physics settings; refusing to resume."
+                    )
+                last_frame_done = resume_frame
 
         for block in self._blocks():
+            block_end_idx = block.start + block.n_frames
+            if block_end_idx <= resume_frame:
+                continue
+            if block.start < resume_frame:
+                raise ValueError(
+                    f"Checkpoint frame {resume_frame} falls inside the block "
+                    f"[{block.start}, {block_end_idx}) — resume with the "
+                    "original [Engine] block_size or delete the checkpoint."
+                )
             frames = self._device_frames(block)
             if model is None:
                 model = build_model(cfg, self.cell, self.law, block)
                 n_sites = frames.donors.shape[1]
-                key = jax.random.key(cfg.engine.seed)
-                states = eng.init_replicas(
-                    jax.random.fold_in(key, 0),
-                    cfg.engine.replicas,
-                    n_sites,
-                    cfg.kmc.proton_number,
-                    frames.donors[0],
-                )
-                keys = jax.random.split(jax.random.fold_in(key, 1), cfg.engine.replicas)
-            states, rows, sites = eng.run_block_with_sites(
-                model,
-                self.cell,
-                states,
-                keys,
-                frames,
-                dt=self.dt,
-                max_events=cfg.engine.max_events_per_frame,
-                reset_frequency=cfg.output.reset_frequency,
-                equilibration=cfg.engine.equilibration_sweeps,
-            )
-            donors_np = np.asarray(jax.device_get(frames.donors))
-            sites_np = np.asarray(jax.device_get(sites))
-            donor_name = cfg.topology.donor_atoms
-            for i in range(block.n_frames):
-                if block.start + i < cfg.engine.equilibration_sweeps:
-                    continue
-                if (block.start + i) % cfg.output.print_frequency != 0:
-                    continue
-                buf = _io.StringIO()
-                pos = donors_np[i]
-                if cfg.output.periodic_wrap:
-                    from cmdlmc_tpu.core.cell import wrap_positions
+                if states is None:
+                    key = jax.random.key(cfg.engine.seed)
+                    states = eng.init_replicas(
+                        jax.random.fold_in(key, 0),
+                        cfg.engine.replicas,
+                        n_sites,
+                        cfg.kmc.proton_number,
+                        frames.donors[0],
+                    )
+                    keys = jax.random.split(
+                        jax.random.fold_in(key, 1), cfg.engine.replicas
+                    )
+                if mesh is not None:
+                    from cmdlmc_tpu.parallel.mesh import (
+                        shard_ensemble, shard_replicas,
+                    )
 
-                    pos = np.asarray(wrap_positions(self.cell, jnp.asarray(pos)))
-                proton_pos = pos[sites_np[i]]
-                names = [donor_name] * len(pos) + [cfg.output.particle_type] * len(
-                    proton_pos
+                    states = shard_ensemble(states, mesh, cfg.engine.mesh_axis)
+                    keys = shard_replicas(keys, mesh, cfg.engine.mesh_axis)
+                from cmdlmc_tpu.engine import fused as eng_fused
+
+                if cfg.engine.backend == "fused":
+                    reason = eng_fused.fused_unsupported_reason(
+                        model, self.cell, states
+                    )
+                    if reason:
+                        raise ValueError(
+                            "backend = fused was requested but the fused "
+                            f"kernel cannot run this configuration ({reason});"
+                            " use backend = auto or scan"
+                        )
+                    use_fused = True
+                else:
+                    use_fused = (
+                        cfg.engine.backend == "auto"
+                        and jax.default_backend() == "tpu"
+                        and eng_fused.fused_supported(model, self.cell, states)
+                    )
+            donors_np = None
+            if use_fused:
+                from cmdlmc_tpu.engine import fused as eng_fused
+
+                for sub_start, sub_end in self._fused_spans(
+                    block.start, block_end_idx
+                ):
+                    lo = sub_start - block.start
+                    hi = sub_end - block.start
+                    fused_kwargs = dict(
+                        dt=self.dt,
+                        max_events=cfg.engine.max_events_per_frame,
+                        seed=cfg.engine.seed,
+                        tile=cfg.engine.tile,
+                        extras_positions=(
+                            frames.extras[lo:hi]
+                            if frames.extras is not None else None
+                        ),
+                        hist_range=tuple(self.hist_range),
+                    )
+                    if mesh is not None:
+                        states = eng_fused.run_block_fused_sharded(
+                            model, self.cell, states,
+                            frames.donors[lo:hi], sub_start, mesh,
+                            axis=cfg.engine.mesh_axis, **fused_kwargs,
+                        )
+                    else:
+                        states = eng_fused.run_block_fused(
+                            model, self.cell, states,
+                            frames.donors[lo:hi], sub_start, **fused_kwargs,
+                        )
+                    f = sub_end - 1
+                    if (
+                        f % cfg.output.print_frequency == 0
+                        and f >= cfg.engine.equilibration_sweeps
+                    ):
+                        if donors_np is None:
+                            donors_np = np.asarray(jax.device_get(frames.donors))
+                        sites0 = np.asarray(
+                            jax.device_get(states.replicas.site_of_proton[0])
+                        )
+                        yield self._format_xyz(
+                            donors_np[f - block.start], sites0, f
+                        )
+            else:
+                states, rows, sites = eng.run_block_with_sites(
+                    model,
+                    self.cell,
+                    states,
+                    keys,
+                    frames,
+                    dt=self.dt,
+                    max_events=cfg.engine.max_events_per_frame,
+                    reset_frequency=cfg.output.reset_frequency,
+                    equilibration=cfg.engine.equilibration_sweeps,
                 )
-                write_xyz_frame(
-                    buf, names, np.vstack([pos, proton_pos]),
-                    comment=f"frame {block.start + i}",
+                donors_np = np.asarray(jax.device_get(frames.donors))
+                sites_np = np.asarray(jax.device_get(sites))
+                for i in range(block.n_frames):
+                    if block.start + i < cfg.engine.equilibration_sweeps:
+                        continue
+                    if (block.start + i) % cfg.output.print_frequency != 0:
+                        continue
+                    yield self._format_xyz(
+                        donors_np[i], sites_np[i], block.start + i
+                    )
+            blocks_done += 1
+            last_frame_done = block_end_idx
+            if (
+                ckpt_path
+                and cfg.engine.checkpoint_interval > 0
+                and blocks_done % cfg.engine.checkpoint_interval == 0
+            ):
+                save_checkpoint(
+                    ckpt_path, states, keys, block_end_idx,
+                    meta=self._ckpt_meta(),
                 )
-                yield buf.getvalue().rstrip("\n")
         self.final_states = states
+        if ckpt_path and states is not None and blocks_done > 0:
+            save_checkpoint(
+                ckpt_path, states, keys, last_frame_done,
+                meta=self._ckpt_meta(),
+            )
 
     def run(self, out=None):
         import time as _time
@@ -739,8 +941,29 @@ def config_fingerprint(cfg: SimulationConfig) -> str:
 
 def config_echo(cfg: SimulationConfig) -> list[str]:
     """Echo settings as '#' comments — downstream tooling recovers run
-    parameters from these (average_MC_out.py:38-56)."""
+    parameters from these (average_MC_out.py:38-56).
+
+    Every config section/key is printed (reference ``print_settings`` parity,
+    IO/config_parser.py:136-148) so long runs are self-describing, followed by
+    the canonical short keys the analysis round-trip parses. The short keys
+    come last because the analysis scanner is last-match-wins
+    (analysis/average.py::_settings_from_comments)."""
     lines = []
+    for field in dataclasses.fields(cfg):
+        section = getattr(cfg, field.name)
+        if section is None or field.name == "logging_level":
+            continue
+        if not dataclasses.is_dataclass(section):
+            continue
+        lines.append(f"# [{getattr(type(section), '__section__', field.name)}]")
+        for f in dataclasses.fields(section):
+            value = getattr(section, f.name)
+            if isinstance(value, np.ndarray):
+                value = value.tolist()
+            lines.append(f"# {f.name.rstrip('_')} = {value}")
+    if cfg.logging_level:
+        lines.append("# [Logging]")
+        lines.append(f"# level = {cfg.logging_level}")
     lines.append(f"# sweeps {cfg.engine.sweeps if cfg.engine.sweeps else 0}")
     lines.append(f"# reset_freq {cfg.output.reset_frequency}")
     lines.append(f"# print_freq {cfg.output.print_frequency}")

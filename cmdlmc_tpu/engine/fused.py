@@ -36,6 +36,25 @@ from cmdlmc_tpu.topo.models import AnglePairRates, HydroniumRates, PairRates, To
 def fused_unsupported_reason(model, cell: Cell, ens: EnsembleState) -> str | None:
     """None if a fused kernel can run this configuration, else a human-readable
     reason (the driver raises it when backend=fused is forced)."""
+    if not cell.orthorhombic:
+        # The fused triclinic kernels use the round-based fractional minimum
+        # image, exact only for vectors shorter than half the smallest
+        # perpendicular cell height; beyond that the scan engine's 27-image
+        # search (core/cell.py::minimum_image) is required. Candidate pair
+        # vectors reach cutoff+buffer, so gate on that. (Per-frame site drift
+        # must also stay under the bound — a user contract for MD input, where
+        # atoms move a tiny fraction of the cell per frame.)
+        cutbuf = float(getattr(model, "cutoff", 0.0)) + float(
+            getattr(model, "buffer", 0.0)
+        )
+        half_height = 0.5 * cell.min_height
+        if cutbuf >= half_height:
+            return (
+                f"triclinic cell too skewed for the fused kernels' round-based "
+                f"minimum image: cutoff+buffer ({cutbuf:.2f}) >= half the "
+                f"smallest perpendicular cell height ({half_height:.2f}); the "
+                "scan engine's 27-image search handles this cell"
+            )
     if isinstance(model, (TopKPairRates, HydroniumRates)):
         from cmdlmc_tpu.ops import topk_sweep as ts
 
@@ -73,6 +92,22 @@ def _grouped_positions(model, extras_positions):
     """[B, N, 3] heavy-atom position of each donor's group (host-side gather —
     o_to_p is static, so this is one cheap XLA take per block)."""
     return jnp.asarray(extras_positions, jnp.float32)[:, model.o_to_p, :]
+
+
+# HBM budget for the streamed kernel's stage-1 dense tables: the XLA-built
+# [B, N, N] f32 W block (doubled when jump histograms also need a distance
+# block) is materialized before the kernel streams it. Unbounded, a
+# soak-style block_size=2000 at supercell N=1152 would allocate ~10.6 GB per
+# device (ADVICE r2); blocks whose tables would exceed this are split into
+# frame sub-ranges, which is bit-exact (RNG draws are keyed by global frame
+# and event ordinal — the chunk-invariance property the engine tests pin).
+STREAMED_TABLE_BUDGET_BYTES = 2 << 30
+
+
+def _streamed_frame_chunk(n_frames: int, n_sites: int, nbins: int) -> int:
+    tables = 2 if nbins else 1
+    per_frame = n_sites * n_sites * 4 * tables
+    return max(1, min(n_frames, STREAMED_TABLE_BUDGET_BYTES // max(per_frame, 1)))
 
 
 def run_block_fused(
@@ -140,6 +175,28 @@ def run_block_fused(
                 raise ValueError(
                     "AngleTopology fused run needs extra-atom positions"
                 )
+            B = frames_positions.shape[0]
+            chunk = _streamed_frame_chunk(B, rep.occ.shape[1], nbins)
+            if chunk < B:
+                trunc_total = None
+                for s in range(0, B, chunk):
+                    e = min(s + chunk, B)
+                    ens, trunc = run_block_fused(
+                        model, cell, ens, frames_positions[s:e],
+                        frame0 + s, dt=dt, max_events=max_events, seed=seed,
+                        tile=tile, interpret=interpret,
+                        tile_offset=tile_offset, return_truncation=True,
+                        extras_positions=(
+                            extras_positions[s:e]
+                            if extras_positions is not None else None
+                        ),
+                        hist_range=hist_range, streamed=True,
+                    )
+                    rep = ens.replicas
+                    trunc_total = (
+                        trunc if trunc_total is None else trunc_total + trunc
+                    )
+                return (ens, trunc_total) if return_truncation else ens
             w_block, dist_block = kss.dense_tables(
                 model, jnp.asarray(frames_positions, jnp.float32),
                 extras_block=(
@@ -267,6 +324,8 @@ def run_block_fused_sharded(
     interpret: bool | None = None,
     extras_positions=None,
     hist_range: tuple = (2.0, 3.0),
+    return_truncation: bool = False,
+    streamed: bool | None = None,
 ) -> EnsembleState:
     """Multi-chip fused sweep: shard the replica axis over the mesh and run the
     Pallas kernel per device under shard_map. Tile ids are offset per shard so
@@ -293,21 +352,48 @@ def run_block_fused_sharded(
             axis=axis, dt=dt, max_events=max_events, seed=seed, tile=tile,
             interpret=interpret, hist_range=hist_range,
             tiles_per_dev=tiles_per_dev, nbins=nbins,
-            track_matrix=track_matrix,
+            track_matrix=track_matrix, return_truncation=return_truncation,
         )
-    if not cell.orthorhombic or kind is None or (
-        isinstance(model, AnglePairRates)
-        and not isinstance(model.law, rate_laws.FermiAngle)
-    ):
+    if streamed is None:
+        # same promotion rule as the single-device path (run_block_fused),
+        # evaluated on the GLOBAL replica count: with the same tile size both
+        # paths pick the same kernel, keeping the bit-identical contract in
+        # the large-R regime where multi-chip is actually used (ADVICE r2)
+        streamed = not cell.orthorhombic or kind is None or (
+            isinstance(model, AnglePairRates)
+            and not isinstance(model.law, rate_laws.FermiAngle)
+        ) or R >= 16 * tile
+    if streamed:
         # streamed-W route: stage-1 W build is plain XLA (replicated here —
         # frames are replicated anyway); the kernel shards over replicas with
         # per-shard tile-id offsets, identical RNG to single-device
+        B = frames_positions.shape[0]
+        chunk = _streamed_frame_chunk(B, rep0.occ.shape[1], nbins)
+        if chunk < B:
+            trunc_total = None
+            for s in range(0, B, chunk):
+                e = min(s + chunk, B)
+                ens, trunc = run_block_fused_sharded(
+                    model, cell, ens, frames_positions[s:e], frame0 + s,
+                    mesh, axis=axis, dt=dt, max_events=max_events, seed=seed,
+                    tile=tile, interpret=interpret,
+                    extras_positions=(
+                        extras_positions[s:e]
+                        if extras_positions is not None else None
+                    ),
+                    hist_range=hist_range, return_truncation=True,
+                    streamed=True,
+                )
+                trunc_total = (
+                    trunc if trunc_total is None else trunc_total + trunc
+                )
+            return (ens, trunc_total) if return_truncation else ens
         return _run_sharded_streamed(
             model, cell, ens, frames_positions, frame0, mesh,
             axis=axis, dt=dt, max_events=max_events, seed=seed, tile=tile,
             interpret=interpret, extras_positions=extras_positions,
             hist_range=hist_range, tiles_per_dev=tiles_per_dev, nbins=nbins,
-            track_matrix=track_matrix,
+            track_matrix=track_matrix, return_truncation=return_truncation,
         )
     pgrp = None
     if isinstance(model, AnglePairRates):
@@ -385,14 +471,14 @@ def run_block_fused_sharded(
         # block-sized zeros dummy would be replicated to every device
         pgrp if pgrp is not None else jnp.zeros((1,), jnp.float32),
     )
-    return _finish_sharded(ens, res, nbins, track_matrix)
+    return _finish_sharded(ens, res, nbins, track_matrix, return_truncation)
 
 
-def _finish_sharded(ens, res, nbins, track_matrix):
+def _finish_sharded(ens, res, nbins, track_matrix, return_truncation=False):
     """Repack the shard_map result tuple (occ..trunc [+hist/expo] [+jm]) into
     an EnsembleState."""
     rep0 = ens.replicas
-    (occ, labels, sites, tlast, disp_base, u, evc, s, prev, _trunc) = res[:10]
+    (occ, labels, sites, tlast, disp_base, u, evc, s, prev, trunc) = res[:10]
     jumps_delta = evc - rep0.clock.event_count
     clock = dataclasses.replace(rep0.clock, u_remaining=u, event_count=evc)
     updates = dict(
@@ -414,13 +500,17 @@ def _finish_sharded(ens, res, nbins, track_matrix):
             jnp.round(res[idx]).astype(rep0.jump_matrix.dtype)
         )
     replicas = dataclasses.replace(rep0, **updates)
-    return EnsembleState(replicas=replicas, site_disp=s, prev_pos=prev)
+    ens_out = EnsembleState(replicas=replicas, site_disp=s, prev_pos=prev)
+    if return_truncation:
+        return ens_out, trunc
+    return ens_out
 
 
 def _run_sharded_streamed(
     model, cell, ens, frames_positions, frame0, mesh, *,
     axis, dt, max_events, seed, tile, interpret, extras_positions,
     hist_range, tiles_per_dev, nbins, track_matrix=False,
+    return_truncation=False,
 ):
     """Streamed-W dense kernel under shard_map (triclinic cells / laws with
     no in-kernel evaluation). Bit-identical to the single-device streamed run
@@ -505,13 +595,13 @@ def _run_sharded_streamed(
         w_block,
         dist_block if dist_block is not None else jnp.zeros((1,), jnp.float32),
     )
-    return _finish_sharded(ens, res, nbins, track_matrix)
+    return _finish_sharded(ens, res, nbins, track_matrix, return_truncation)
 
 
 def _run_sharded_topk(
     model, cell, ens, frames_positions, frame0, mesh, *,
     axis, dt, max_events, seed, tile, interpret, hist_range, tiles_per_dev,
-    nbins, track_matrix=False,
+    nbins, track_matrix=False, return_truncation=False,
 ):
     """Top-K fused kernels under shard_map: stage-1 candidate tables are
     replica-independent (built once, replicated); the kernel shards over
@@ -609,4 +699,4 @@ def _run_sharded_topk(
         positions,
         topd, topi, resc,
     )
-    return _finish_sharded(ens, res, nbins, track_matrix)
+    return _finish_sharded(ens, res, nbins, track_matrix, return_truncation)

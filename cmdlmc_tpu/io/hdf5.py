@@ -65,6 +65,13 @@ class HDF5Trajectory:
         else:
             self.selection = np.asarray(selection)
 
+    @property
+    def effective_time_step(self) -> float:
+        """Physical time between *used* frames: subsampling by ``stride`` does
+        not compress physical time (reference skip_frames semantics,
+        IO/config_parser.py:196-202)."""
+        return self.time_step * self.stride
+
     def iter_batches(self) -> Iterator[tuple[np.ndarray, np.ndarray, int]]:
         names = self.atom_names if self.selection is None else self.atom_names[self.selection]
         if self.shuffle_seed is not None:
@@ -119,7 +126,8 @@ class HDF5Trajectory:
         for names, positions, start in self.iter_batches():
             for i in range(positions.shape[0]):
                 yield HostFrame(
-                    names, positions[i], time=(start + i) * self.time_step
+                    names, positions[i],
+                    time=(start + i) * self.effective_time_step,
                 )
 
     def __len__(self):

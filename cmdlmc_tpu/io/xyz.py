@@ -87,7 +87,10 @@ class XYZTrajectory:
     ``repeat`` (loop forever). ``stride``/``clip`` re-provide the legacy
     ``skip_frames``/``clip_trajectory`` keys (IO/config_parser.py:196-243):
     every ``stride``-th source frame of the first ``clip`` frames is used (and
-    looped over under ``repeat``).
+    looped over under ``repeat``). Each used frame covers the full physical
+    interval of the frames it replaces, so frame times advance by
+    ``time_step * stride`` (the effective time step; see
+    :attr:`effective_time_step`).
     """
 
     def __init__(
@@ -121,6 +124,13 @@ class XYZTrajectory:
                 elif hasattr(f, "seek"):
                     f.seek(0)
         self._number_of_atoms = int(number_of_atoms)
+
+    @property
+    def effective_time_step(self) -> float:
+        """Physical time between *used* frames: subsampling by ``stride`` does
+        not compress physical time (reference skip_frames semantics,
+        IO/config_parser.py:196-202)."""
+        return self.time_step * self.stride
 
     def _resolve_selection(self):
         sel = self.selection
@@ -186,7 +196,8 @@ class XYZTrajectory:
         for names, positions, start in self.iter_batches():
             for i in range(positions.shape[0]):
                 yield HostFrame(
-                    names, positions[i], time=(start + i) * self.time_step
+                    names, positions[i],
+                    time=(start + i) * self.effective_time_step,
                 )
 
     @property

@@ -40,16 +40,30 @@ def test_fused_supported_gate():
         8, 3, 4, Constant(a=jnp.float32(0.02)), 100.0, 0.0, [20.0] * 3
     )
     assert fused.fused_supported(model, cell, ens)
-    # triclinic cells are fully fused-supported (round 2): dense models route
-    # to the streamed-W kernel, top-K kernels carry the h/h^-1 minimum image
+    # triclinic cells are fused-supported (round 2): dense models route to the
+    # streamed-W kernel, top-K kernels carry the h/h^-1 minimum image — but
+    # only while cutoff+buffer < half the smallest perpendicular cell height
+    # (the round-based minimum image's exactness bound; beyond it the scan
+    # engine's 27-image search is required)
+    import dataclasses
+
     tri = Cell.triclinic([[10, 0, 0], [3, 9, 0], [0, 0, 8]])
-    assert fused.fused_supported(model, tri, ens)
+    near = dataclasses.replace(
+        model, cutoff=jnp.float32(2.5), buffer=jnp.float32(1.0)
+    )
+    assert fused.fused_supported(near, tri, ens)
+    # cutoff+buffer = 100 >> min_height/2: reject with a pointer at the cause
+    reason = fused.fused_unsupported_reason(model, tri, ens)
+    assert reason is not None and "minimum image" in reason
     from cmdlmc_tpu.topo.models import TopKPairRates
 
     topk = TopKPairRates(
-        cell=tri, law=model.law, cutoff=model.cutoff, buffer=model.buffer, k=4
+        cell=tri, law=model.law, cutoff=jnp.float32(2.5),
+        buffer=jnp.float32(1.0), k=4,
     )
     assert fused.fused_supported(topk, tri, ens)
+    topk_far = dataclasses.replace(topk, cutoff=jnp.float32(50.0))
+    assert not fused.fused_supported(topk_far, tri, ens)
 
 
 def test_pick_tile():

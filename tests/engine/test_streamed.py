@@ -119,13 +119,21 @@ def test_gate_widened():
     )
     import dataclasses
 
-    tri_model = dataclasses.replace(model, cell=tri)
+    tri_model = dataclasses.replace(
+        model, cell=tri, cutoff=jnp.float32(3.0), buffer=jnp.float32(0.5)
+    )
     assert fused.fused_supported(tri_model, tri, ens)
+    # ... but only under the round-based minimum image's exactness bound:
+    # cutoff+buffer >= min_height/2 (= 4.0 for this cell) must fall back to
+    # the scan engine's 27-image search (ADVICE r2)
+    assert not fused.fused_supported(
+        dataclasses.replace(tri_model, cutoff=jnp.float32(100.0)), tri, ens
+    )
     # AngleTopology with a distance-only law: streamed (W built in XLA)
     angle_model = AnglePairRates(
         cell=tri, law=Fermi(a=jnp.float32(0.1), b=jnp.float32(2.3),
                             c=jnp.float32(0.1)),
-        cutoff=jnp.float32(3.0), buffer=jnp.float32(1.0),
+        cutoff=jnp.float32(3.0), buffer=jnp.float32(0.5),
         o_to_p=jnp.zeros(8, jnp.int32),
     )
     assert fused.fused_supported(angle_model, tri, ens)
@@ -173,7 +181,14 @@ def test_triclinic_topk_event_rate_and_jump_vector():
         cell=tri, law=Constant(a=jnp.float32(a)),
         cutoff=jnp.float32(100.0), buffer=jnp.float32(0.0), k=n_sites - 1,
     )
-    assert fused.fused_supported(model, tri, None)
+    # gate check with an in-bounds cutoff (the 100-Å cutoff here is only an
+    # include-all-pairs convenience for the Constant-law statistics below; the
+    # driver gate would route it to the scan engine)
+    import dataclasses as _dc
+
+    assert fused.fused_supported(
+        _dc.replace(model, cutoff=jnp.float32(4.0)), tri, None
+    )
     key = jax.random.key(0)
     ens = eng.init_replicas(
         jax.random.fold_in(key, 0), R, n_sites, n_protons, jnp.asarray(positions)

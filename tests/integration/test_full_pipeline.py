@@ -173,6 +173,35 @@ def test_pipeline_matrix(trajectory_files, traj_type, jumprate, topology):
     assert np.all(arr[:, 5] <= 8)  # autocorr bounded by proton number
 
 
+def test_full_settings_echo(trajectory_files):
+    """Every config section/key is echoed as '#' comments (reference
+    print_settings parity, IO/config_parser.py:136-148) and the analysis
+    round-trip keys stay parseable."""
+    from cmdlmc_tpu.analysis.average import _settings_from_comments
+    from cmdlmc_tpu.config.schema import load_config
+    from cmdlmc_tpu.driver import config_echo
+
+    xyz_path, _ = trajectory_files
+    cfg = load_config(io.StringIO(
+        make_config(xyz_path, "XYZTrajectory", "NeighborTopology", "Fermi")
+    ))
+    lines = config_echo(cfg)
+    assert all(line.startswith("#") for line in lines)
+    text = "\n".join(lines)
+    # every section header and a representative key from each
+    for token in (
+        "[Trajectory]", "[AtomBox]", "[NeighborTopology]", "[JumpRate]",
+        "[KMCLattice]", "[Output]", "[Engine]",
+        "filename =", "periodic_boundaries =", "cutoff =", "type = Fermi",
+        "proton_number = 8", "print_frequency = 5", "replicas = 4",
+        "block_size = 25", "backend =",
+    ):
+        assert token in text, token
+    # the analysis scanner still recovers the canonical interval settings
+    parsed = _settings_from_comments(lines)
+    assert parsed == (30 // 5, None)
+
+
 def test_xyz_output_mode(trajectory_files):
     xyz_path, _ = trajectory_files
     config = make_config(xyz_path, "XYZTrajectory", "NeighborTopology", "Fermi")

@@ -65,6 +65,12 @@ def test_skip_frames_strides_trajectory(traj):
     rows = data_rows(run_rows(cfg))
     # 60 source frames / stride 3 = 20 used frames -> rows at 0 and 10
     assert [int(float(r[0])) for r in rows] == [0, 10]
+    # skip_frames subsamples topology updates, not physical time: each used
+    # frame covers the full (skip+1)-frame interval, so KMC time advances by
+    # md_timestep_fs * (skip_frames+1) per used frame
+    # (IO/config_parser.py:196-202). Row at used-frame 10 = 10*3 source
+    # frames * 0.5 fs.
+    assert [float(r[1]) for r in rows] == pytest.approx([0.0, 15.0])
 
 
 def test_clip_trajectory_loops(traj):

@@ -46,6 +46,11 @@ def test_xyz_stride(xyz_path):
     traj = XYZTrajectory(xyz_path, time_step=1.0, stride=3)
     assert frame_ids(traj) == [0, 3, 6, 9]
     assert len(traj) == 4
+    # strided frames keep physical time: used frame i sits at source time
+    # i * stride * time_step (reference skip_frames, config_parser.py:196-202)
+    assert traj.effective_time_step == 3.0
+    fresh = XYZTrajectory(xyz_path, time_step=1.0, stride=3)
+    assert [f.time for f in fresh] == [0.0, 3.0, 6.0, 9.0]
 
 
 def test_xyz_clip(xyz_path):
@@ -68,6 +73,12 @@ def test_xyz_clip_with_repeat_loops(xyz_path):
         if len(ids) == 8:
             break
     assert ids == [0, 1, 2, 0, 1, 2, 0, 1]
+
+
+def test_hdf5_stride_time_is_physical(hdf5_path):
+    traj = HDF5Trajectory(hdf5_path, time_step=0.5, stride=2, chunk_size=5)
+    assert traj.effective_time_step == 1.0
+    assert [f.time for f in traj][:3] == [0.0, 1.0, 2.0]
 
 
 def test_hdf5_stride(hdf5_path):
