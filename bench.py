@@ -33,6 +33,9 @@ def main():
                         help="observable emission cadence (frames)")
     parser.add_argument("--backend", choices=("auto", "fused", "scan"),
                         default="auto")
+    parser.add_argument("--stale", action="store_true",
+                        help="reference-style stale in-frame rates "
+                             "(streamed fused kernel)")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
 
@@ -99,7 +102,7 @@ def main():
     if use_fused:
         states = eng_fused.run_block_fused(
             model, cell, states, blk.donors, 0, dt=dt,
-            max_events=args.max_events, seed=0,
+            max_events=args.max_events, seed=0, stale_rates=args.stale,
         )
         sync(states.replicas.clock.event_count)
     else:
@@ -127,6 +130,7 @@ def main():
                     model, cell, states, blk.donors,
                     (b + 1) * args.block_frames,
                     dt=dt, max_events=args.max_events, seed=0,
+                    stale_rates=args.stale,
                 )
             else:
                 states, rows = eng.run_block(

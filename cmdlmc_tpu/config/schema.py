@@ -216,6 +216,12 @@ class EngineSection:
     backend: str = "auto"  # auto | fused | scan (fused = Pallas sweep kernel)
     equilibration_sweeps: int = 0  # frames before observables start (legacy)
     tile: Optional[int] = None  # fused replica-tile size; None = auto (128)
+    # Reference-style stale in-frame rates (MDMC.py:121-171): intra-frame
+    # events reuse the frame-start rate values/total instead of recomputing
+    # after each event. More reference-faithful AND faster (one fewer MXU
+    # product per event); differs from the scan oracle only at O(rate*dt)
+    # within multi-event frames. Fused streamed backend only.
+    stale_rates: bool = False
 
 
 _SECTIONS = {

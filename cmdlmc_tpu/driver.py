@@ -466,6 +466,7 @@ class Simulation:
                             if frames.extras is not None else None
                         ),
                         hist_range=tuple(self.hist_range),
+                        stale_rates=cfg.engine.stale_rates,
                     )
                     if mesh is not None:
                         states, trunc = eng_fused.run_block_fused_sharded(
@@ -745,6 +746,7 @@ class Simulation:
                             if frames.extras is not None else None
                         ),
                         hist_range=tuple(self.hist_range),
+                        stale_rates=cfg.engine.stale_rates,
                     )
                     if mesh is not None:
                         states = eng_fused.run_block_fused_sharded(

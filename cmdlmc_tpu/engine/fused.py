@@ -127,6 +127,7 @@ def run_block_fused(
     extras_positions=None,  # [B, M, 3] heavy atoms (AngleTopology)
     hist_range: tuple = (2.0, 3.0),
     streamed: bool | None = None,  # None = auto; force the streamed-W kernel
+    stale_rates: bool = False,  # reference-style stale in-frame rates
 ) -> EnsembleState:
     """Advance all replicas across the block with the fused kernel. Returns the
     updated ensemble (no per-frame rows — the runner reads observables from
@@ -161,6 +162,8 @@ def run_block_fused(
                 isinstance(model, AnglePairRates)
                 and not isinstance(model.law, rate_laws.FermiAngle)
             )
+            if stale_rates:
+                streamed = True  # the stale-rates mode lives in the streamed kernel
             # perf: the in-kernel path rebuilds W once per replica tile; the
             # one XLA-stage build + HBM streaming wins once enough tiles
             # amortize it (measured v5e @TR=128: N=144 R=16384 2.83 vs 2.45 G,
@@ -191,6 +194,7 @@ def run_block_fused(
                             if extras_positions is not None else None
                         ),
                         hist_range=hist_range, streamed=True,
+                        stale_rates=stale_rates,
                     )
                     rep = ens.replicas
                     trunc_total = (
@@ -233,6 +237,7 @@ def run_block_fused(
                 nbins=nbins,
                 hist_range=tuple(hist_range),
                 track_matrix=track_matrix,
+                stale=stale_rates,
             )
             return _finish(ens, rep, out, return_truncation)
         pgrp = None
@@ -326,6 +331,7 @@ def run_block_fused_sharded(
     hist_range: tuple = (2.0, 3.0),
     return_truncation: bool = False,
     streamed: bool | None = None,
+    stale_rates: bool = False,
 ) -> EnsembleState:
     """Multi-chip fused sweep: shard the replica axis over the mesh and run the
     Pallas kernel per device under shard_map. Tile ids are offset per shard so
@@ -354,6 +360,8 @@ def run_block_fused_sharded(
             tiles_per_dev=tiles_per_dev, nbins=nbins,
             track_matrix=track_matrix, return_truncation=return_truncation,
         )
+    if streamed is None and stale_rates:
+        streamed = True
     if streamed is None:
         # same promotion rule as the single-device path (run_block_fused),
         # evaluated on the GLOBAL replica count: with the same tile size both
@@ -382,7 +390,7 @@ def run_block_fused_sharded(
                         if extras_positions is not None else None
                     ),
                     hist_range=hist_range, return_truncation=True,
-                    streamed=True,
+                    streamed=True, stale_rates=stale_rates,
                 )
                 trunc_total = (
                     trunc if trunc_total is None else trunc_total + trunc
@@ -394,6 +402,7 @@ def run_block_fused_sharded(
             interpret=interpret, extras_positions=extras_positions,
             hist_range=hist_range, tiles_per_dev=tiles_per_dev, nbins=nbins,
             track_matrix=track_matrix, return_truncation=return_truncation,
+            stale=stale_rates,
         )
     pgrp = None
     if isinstance(model, AnglePairRates):
@@ -510,7 +519,7 @@ def _run_sharded_streamed(
     model, cell, ens, frames_positions, frame0, mesh, *,
     axis, dt, max_events, seed, tile, interpret, extras_positions,
     hist_range, tiles_per_dev, nbins, track_matrix=False,
-    return_truncation=False,
+    return_truncation=False, stale=False,
 ):
     """Streamed-W dense kernel under shard_map (triclinic cells / laws with
     no in-kernel evaluation). Bit-identical to the single-device streamed run
@@ -554,6 +563,7 @@ def _run_sharded_streamed(
             nbins=nbins,
             hist_range=tuple(hist_range),
             track_matrix=track_matrix,
+            stale=stale,
         )
         keys = ["occ", "labels", "sites", "tlast", "disp_base", "u_rem",
                 "ev_count", "site_disp", "prev_pos", "trunc"]
@@ -626,19 +636,21 @@ def _run_sharded_topk(
     relax = jnp.float32(
         model.interpolator.relaxation_time if has_interp else 0.0
     )
-    topd, topi, resc = ts.topk_tables(
-        model, positions, ts._pad_k(k_cand), not has_interp
+    topd, topi, resc, ci, cnbr, chg, mode = ts.topk_tables_delta(
+        model, positions, ts._pad_k(k_cand), not has_interp,
+        ts.default_cmax(positions.shape[1]),
     )
     params = jnp.concatenate([
         ks.law_params_array(model.law), jnp.stack([relax, jnp.float32(0.0)])
     ])
 
     def local(occ, labels, sites, tlast, disp_base, u, evc, hist, expo,
-              site_disp, prev_pos, pos, td, ti, rs):
+              site_disp, prev_pos, pos, td, ti, rs, ci_, cnbr_, chg_, mode_):
         idx = jax.lax.axis_index(axis)
         tlast_site = ts.entry_tlast_site(occ, labels, tlast)
         out = ts.topk_sweep(
             pos, td, ti, rs,
+            ci_, cnbr_, chg_, mode_,
             prev_pos, site_disp,
             occ, labels, sites, tlast, tlast_site, disp_base, u, evc,
             params,
@@ -680,7 +692,7 @@ def _run_sharded_topk(
         in_specs=(
             P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
             P(axis), P(axis),
-            P(), P(), P(), P(), P(), P(),
+            P(), P(), P(), P(), P(), P(), P(), P(), P(), P(),
         ),
         out_specs=tuple(out_specs),
         check_vma=False,
@@ -698,5 +710,6 @@ def _run_sharded_topk(
         ens.prev_pos,
         positions,
         topd, topi, resc,
+        ci, cnbr, chg, mode,
     )
     return _finish_sharded(ens, res, nbins, track_matrix, return_truncation)

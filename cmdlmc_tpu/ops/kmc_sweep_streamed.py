@@ -49,7 +49,7 @@ Array = jax.Array
 
 def _make_kernel(*, n_sites, n_protons, tile, block, max_events, dt, seed,
                  orthorhombic, nbins=0, hist_range=(2.0, 3.0),
-                 track_matrix=False, pack=1):
+                 track_matrix=False, pack=1, stale=False):
     N, P, TR, B = n_sites, n_protons, tile, block
     TRB = TR * pack  # rows per grid block = pack independent logical tiles
     f32 = jnp.float32
@@ -179,8 +179,22 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, dt, seed,
                 row = occ * out
                 return row, jnp.sum(row, axis=1, keepdims=True)
 
+            if stale:
+                # reference-style stale in-frame rates (MDMC.py:121-171 /
+                # :101-119): the allowed-rate rows and their total are built
+                # ONCE per frame; intra-frame events reuse the stale VALUES
+                # (clock budget and leftover integrate at the frame-start
+                # total, exactly like fastforward_to_next_jump) while the
+                # source race re-masks by CURRENT occupancy, mirroring
+                # move_proton's re-filter. Cuts one [TR, N] x [N, N] MXU
+                # product per event.
+                row0, total0 = total_rate()
+
             def ev_iter(ev):
-                row, total = total_rate()
+                if stale:
+                    row, total = row0 * occ_out[sl], total0
+                else:
+                    row, total = total_rate()
                 phase = phase_scr[sl]
                 done = done_scr[sl]
                 u = u_out[sl]
@@ -309,7 +323,10 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, dt, seed,
                         iota_b == b, val, 0.0
                     )
 
-            _, total = total_rate()
+            if stale:
+                total = total0
+            else:
+                _, total = total_rate()
             u_out[sl] = u_out[sl] - total * (f32(dt) - phase_scr[sl])
 
         for p in range(pack):
@@ -331,7 +348,7 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, dt, seed,
     jax.jit,
     static_argnames=(
         "tile", "max_events", "dt", "seed", "orthorhombic", "interpret",
-        "nbins", "hist_range", "track_matrix", "pack",
+        "nbins", "hist_range", "track_matrix", "pack", "stale",
     ),
 )
 def kmc_sweep_streamed(
@@ -364,6 +381,7 @@ def kmc_sweep_streamed(
     hist_range: tuple = (2.0, 3.0),
     track_matrix: bool = False,
     pack: int = 1,
+    stale: bool = False,
 ):
     """Run the streamed-W fused sweep over a block; returns the same dict as
     ops.kmc_sweep.kmc_sweep. ``pack`` packs that many independent logical
@@ -386,6 +404,7 @@ def kmc_sweep_streamed(
         n_sites=N, n_protons=P, tile=TR, block=B, max_events=max_events,
         dt=dt, seed=seed, orthorhombic=orthorhombic, nbins=nbins,
         hist_range=hist_range, track_matrix=track_matrix, pack=pack,
+        stale=stale,
     )
 
     geom = jnp.concatenate([

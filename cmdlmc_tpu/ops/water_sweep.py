@@ -14,9 +14,14 @@ frame block with everything on-chip —
        shift), waiting-time gate, rate law
     6. KMC clock + 3-way selection + d_OH correction + displacement rebase
 
-Unsupported in the kernel (scan fallback): interpolated-table rescaling and
-``check_from_old``. RNG and determinism rules match kmc_sweep.py (counter-based
-hash keyed by (seed, tile, absolute frame, event iter)).
+All four rescale modes run in-kernel — none / linear / ramp / interpolated
+table (the legacy ``conversion_data`` key: the table points live in SMEM and
+each segment is an unrolled masked lerp, reproducing jnp.interp + the
+reference clamp semantics) — as does ``check_from_old`` (excess_kmc.py:111-126:
+when the back-connection new -> old is missing but old's candidate row still
+contains the new site, the farthest candidate is swapped for the old oxygen at
+its rescaled distance). RNG and determinism rules match kmc_sweep.py
+(counter-based hash keyed by (seed, tile, absolute frame, event iter)).
 """
 
 from __future__ import annotations
@@ -35,16 +40,32 @@ Array = jax.Array
 _BIG = 1.0e9
 
 # transform kinds
-T_NONE, T_LINEAR, T_RAMP = 0, 1, 2
+T_NONE, T_LINEAR, T_RAMP, T_INTERP = 0, 1, 2, 3
+
+# table-size ceiling for the in-kernel interpolated transform (each segment is
+# an unrolled masked lerp; larger tables should be thinned offline)
+MAX_INTERP_POINTS = 1024
 
 
-def _apply_transform(tkind: int, d, tp):
-    """tp = [a, b, d0, left, right]."""
+def _apply_transform(tkind: int, d, tp, tx=None, ty=None, m_interp=0):
+    """tp = [a, b, d0, left, right]; tx/ty = SMEM-scalar lists of the
+    interpolation table (tkind == T_INTERP only)."""
     if tkind == T_NONE:
         return d
     if tkind == T_LINEAR:
         inside = jnp.logical_and(tp[3] < d, d < tp[4])
         return jnp.where(inside, tp[0] * d + tp[1], d)
+    if tkind == T_INTERP:
+        # reference clamp semantics (topo/transforms.py:71-89): below x[0] ->
+        # y[0], above x[-1] -> unchanged, inside -> linear interpolation
+        res = jnp.where(d < tx[0], ty[0], d)
+        for j in range(m_interp - 1):
+            x0, x1, y0, y1 = tx[j], tx[j + 1], ty[j], ty[j + 1]
+            t = (d - x0) / jnp.maximum(x1 - x0, 1e-12)
+            inside = jnp.logical_and(d >= x0, d < x1)
+            res = jnp.where(inside, y0 + t * (y1 - y0), res)
+        res = jnp.where(d == tx[m_interp - 1], ty[m_interp - 1], res)
+        return res
     # ramp / ReLU
     resc = jnp.where(d < tp[2], tp[1], tp[0] * (d - tp[2]) + tp[1])
     outside = jnp.logical_or(d <= tp[3], tp[4] <= d)
@@ -52,7 +73,8 @@ def _apply_transform(tkind: int, d, tp):
 
 
 def _make_kernel(*, n_sites, tile, block, k_atoms, kind, tkind, dt, seed,
-                 relax, waiting, keep_last, d_oh, max_events):
+                 relax, waiting, keep_last, check_old, d_oh, max_events,
+                 m_interp=0):
     N, TR, B, K = n_sites, tile, block, k_atoms
     f32 = jnp.float32
     KL = 8  # lane-padded candidate width
@@ -62,6 +84,8 @@ def _make_kernel(*, n_sites, tile, block, k_atoms, kind, tkind, dt, seed,
         ints_ref,  # SMEM i32 [2]: frame0, tile_offset
         lp_ref,  # SMEM f32 [6] law params
         tp_ref,  # SMEM f32 [5] transform params
+        tx_ref,  # SMEM f32 [M] interp table x (dummy [1] unless T_INTERP)
+        ty_ref,  # SMEM f32 [M] interp table y
         post_ref,  # [B, 3, N]
         prev_ref, s0_ref,  # [3, N]
         site_ref, last_ref, fsj_ref, wait_ref, jumps_ref, evc_ref,  # [TR,1] i32
@@ -80,6 +104,8 @@ def _make_kernel(*, n_sites, tile, block, k_atoms, kind, tkind, dt, seed,
         tile_id = pl.program_id(0) + ints_ref[1]
         lp = [lp_ref[i] for i in range(6)]
         tp = [tp_ref[i] for i in range(5)]
+        tx = [tx_ref[i] for i in range(m_interp)] if tkind == T_INTERP else None
+        ty = [ty_ref[i] for i in range(m_interp)] if tkind == T_INTERP else None
 
         site_out[:] = site_ref[:]
         last_out[:] = last_ref[:]
@@ -141,6 +167,40 @@ def _make_kernel(*, n_sites, tile, block, k_atoms, kind, tkind, dt, seed,
                     slot2 = iota_k == 2
                     d_eff = jnp.where(jnp.logical_and(slot2, in3), v3, d_eff)
                     cand_i = jnp.where(jnp.logical_and(slot2, in3), i3, cand_i)
+                elif check_old:
+                    # excess_kmc.py:111-126: the connection exists only
+                    # old -> new — swap the farthest active candidate for the
+                    # old oxygen at old's rescaled distance
+                    lastf = last.astype(f32)
+                    oh_last = (
+                        iota_n == jnp.maximum(last, 0)
+                    ).astype(f32)  # [TR, N]
+                    old_i = oh_dot(oh_last, topi_scr[:])  # [TR, KL]
+                    old_r = oh_dot(oh_last, resc_scr[:])
+                    site_f = site.astype(f32)
+                    eq_site = jnp.logical_and(old_i == site_f, iota_k < K)
+                    to_old_missing = jnp.sum(
+                        jnp.where(is_last, 1.0, 0.0), axis=1, keepdims=True
+                    ) == 0
+                    new_in_old = jnp.logical_and(
+                        jnp.sum(jnp.where(eq_site, 1.0, 0.0), axis=1,
+                                keepdims=True) > 0,
+                        last >= 0,
+                    )
+                    do_swap = jnp.logical_and(to_old_missing, new_in_old)
+                    # argmax over the 3 active slots (first max wins, matching
+                    # jnp.argmax in the scan model)
+                    d_act = jnp.where(iota_k < 3, d_eff, -jnp.inf)
+                    far = jnp.argmax(d_act, axis=1)[:, None]  # [TR, 1]
+                    # old's rescaled distance at the first slot matching site
+                    first_eq = jnp.argmax(eq_site.astype(f32), axis=1)[:, None]
+                    old_dist = jnp.sum(
+                        jnp.where(iota_k == first_eq, old_r, 0.0),
+                        axis=1, keepdims=True,
+                    )
+                    sel = jnp.logical_and(iota_k == far, do_swap)
+                    d_eff = jnp.where(sel, old_dist, d_eff)
+                    cand_i = jnp.where(sel, lastf, cand_i)
 
             rates = _apply_law(kind, d_eff, lp)
             rates = jnp.where(iota_k < 3, rates, 0.0)  # only first 3 candidates
@@ -246,7 +306,9 @@ def _make_kernel(*, n_sites, tile, block, k_atoms, kind, tkind, dt, seed,
                 topd_scr[:] = jnp.where(col, vals, topd_scr[:])
                 topi_scr[:] = jnp.where(col, idx.astype(f32), topi_scr[:])
                 d_scr[:] = jnp.where(lane_nn == idx, _BIG, d_scr[:])
-            resc_scr[:] = _apply_transform(tkind, topd_scr[:], tp)
+            resc_scr[:] = _apply_transform(
+                tkind, topd_scr[:], tp, tx=tx, ty=ty, m_interp=m_interp
+            )
 
             frame_idx = frame0 + f
             frame_time = frame_idx.astype(f32) * f32(dt)
@@ -292,7 +354,7 @@ def _make_kernel(*, n_sites, tile, block, k_atoms, kind, tkind, dt, seed,
     jax.jit,
     static_argnames=(
         "kind", "tkind", "k_atoms", "tile", "max_events", "dt", "seed",
-        "relax", "waiting", "keep_last", "d_oh", "interpret",
+        "relax", "waiting", "keep_last", "check_old", "d_oh", "interpret",
     ),
 )
 def water_sweep(
@@ -304,10 +366,11 @@ def water_sweep(
     law_params,  # [6]
     transform_params,  # [5]
     frame0, box_lengths, tile_offset,
+    interp_x=None, interp_y=None,  # [M] table (tkind == T_INTERP)
     *,
     kind: int, tkind: int, k_atoms: int, tile: int, max_events: int,
     dt: float, seed: int, relax: int, waiting: int, keep_last: bool,
-    d_oh: float, interpret: bool = False,
+    check_old: bool = False, d_oh: float, interpret: bool = False,
 ):
     B, N, _ = positions.shape
     R = site.shape[0]
@@ -315,11 +378,16 @@ def water_sweep(
     assert R % TR == 0
     grid = (R // TR,)
     KL = 8
+    if interp_x is None:
+        interp_x = jnp.zeros(1, jnp.float32)
+        interp_y = jnp.zeros(1, jnp.float32)
+    m_interp = interp_x.shape[0] if tkind == T_INTERP else 0
 
     kernel = _make_kernel(
         n_sites=N, tile=TR, block=B, k_atoms=k_atoms, kind=kind, tkind=tkind,
         dt=dt, seed=seed, relax=relax, waiting=waiting, keep_last=keep_last,
-        d_oh=d_oh, max_events=max_events,
+        check_old=check_old, d_oh=d_oh, max_events=max_events,
+        m_interp=m_interp,
     )
 
     box = jnp.concatenate([
@@ -371,7 +439,7 @@ def water_sweep(
         kernel,
         grid=grid,
         in_specs=[
-            smem(), smem(), smem(), smem(),
+            smem(), smem(), smem(), smem(), smem(), smem(),
             full(), full(), full(),
             rep(1), rep(1), rep(1), rep(1), rep(1), rep(1), rep(1),
             rep(3), rep(3),
@@ -393,13 +461,15 @@ def water_sweep(
             has_side_effects=True, vmem_limit_bytes=limit_bytes(vmem)
         ),
         input_output_aliases={
-            7: 0, 8: 1, 9: 2, 10: 3, 11: 4, 12: 5, 13: 6, 14: 7, 15: 8,
-            6: 9, 5: 10,
+            9: 0, 10: 1, 11: 2, 12: 3, 13: 4, 14: 5, 15: 6, 16: 7, 17: 8,
+            8: 9, 7: 10,
         },
     )(
         box, ints,
         jnp.asarray(law_params, jnp.float32),
         jnp.asarray(transform_params, jnp.float32),
+        jnp.asarray(interp_x, jnp.float32),
+        jnp.asarray(interp_y, jnp.float32),
         post,
         jnp.asarray(prev_pos, jnp.float32).T,
         jnp.asarray(site_disp, jnp.float32).T,

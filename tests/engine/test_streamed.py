@@ -282,3 +282,59 @@ def test_triclinic_jump_vector_minimum_image():
         # after an odd number it is one minimum-image vector away
         target = 0.0 if counts[r] % 2 == 0 else norm_mi
         np.testing.assert_allclose(d, target, atol=1e-4)
+
+
+def test_stale_rates_mode():
+    """Reference-style stale in-frame rates (MDMC.py:121-171): the flag-gated
+    mode must (a) agree with the default per-event-fresh mode event-for-event
+    on frames with at most one event and rate*dt << 1, (b) agree
+    distributionally at moderate rates (both are valid KMC discretizations;
+    the reference itself uses the stale form), and (c) preserve occupancy
+    invariants."""
+    # (a) cold rates: virtually no multi-event frames -> identical statistics,
+    # and the expected-event-count law holds exactly
+    n_sites, n_protons, R, F = 10, 4, 64, 400
+    a, dt = 0.01, 0.5
+    model, positions, ens = build(
+        n_sites, n_protons, R, Constant(a=jnp.float32(a)), 100.0, 0.0,
+        Cell.cubic([30.0] * 3),
+    )
+    block = jnp.broadcast_to(jnp.asarray(positions), (F, n_sites, 3))
+    kw = dict(dt=dt, seed=5, tile=16, interpret=True, streamed=True)
+    fresh = fused.run_block_fused(model, model.cell, ens, block, 0, **kw)
+    stale = fused.run_block_fused(
+        model, model.cell, ens, block, 0, stale_rates=True, **kw
+    )
+    cf = np.asarray(fresh.replicas.clock.event_count, float)
+    cs = np.asarray(stale.replicas.clock.event_count, float)
+    expected = a * n_protons * (n_sites - n_protons) * dt * F
+    for counts in (cf, cs):
+        z = (counts.mean() - expected) / np.sqrt(expected / R)
+        assert abs(z) < 5, (counts.mean(), expected, z)
+    # identical event streams while no frame ever fires twice
+    np.testing.assert_array_equal(
+        np.asarray(fresh.replicas.occ), np.asarray(stale.replicas.occ)
+    )
+    np.testing.assert_array_equal(cf, cs)
+
+    # (b)+(c) hot rates: multi-event frames are common; the two modes diverge
+    # bitwise but must agree distributionally, and invariants hold
+    a_hot = 0.2
+    model_h, positions_h, ens_h = build(
+        n_sites, n_protons, R, Constant(a=jnp.float32(a_hot)), 100.0, 0.0,
+        Cell.cubic([30.0] * 3),
+    )
+    block_h = jnp.broadcast_to(jnp.asarray(positions_h), (F, n_sites, 3))
+    kw_h = dict(dt=dt, seed=5, tile=16, interpret=True, streamed=True,
+                max_events=8)
+    fresh_h = fused.run_block_fused(model_h, model_h.cell, ens_h, block_h, 0, **kw_h)
+    stale_h = fused.run_block_fused(
+        model_h, model_h.cell, ens_h, block_h, 0, stale_rates=True, **kw_h
+    )
+    occ_s = np.asarray(stale_h.replicas.occ)
+    np.testing.assert_allclose(occ_s.sum(axis=1), n_protons, atol=1e-5)
+    cf = np.asarray(fresh_h.replicas.clock.event_count, float)
+    cs = np.asarray(stale_h.replicas.clock.event_count, float)
+    assert not np.array_equal(cf, cs)  # the mode genuinely changes the stream
+    se = np.sqrt(cf.var(ddof=1) / R + cs.var(ddof=1) / R)
+    assert abs(cf.mean() - cs.mean()) < 5 * max(se, 1e-9), (cf.mean(), cs.mean())

@@ -13,6 +13,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full driver re-runs of all 8 frozen scenarios
+
 sys.path.insert(0, os.path.dirname(__file__))
 
 import scenarios  # noqa: E402

@@ -15,6 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # 3000-frame numpy oracle: dominates suite wall-time
+
 from cmdlmc_tpu.core.cell import Cell
 from cmdlmc_tpu.engine import lattice as eng
 from cmdlmc_tpu.rates.laws import Fermi

@@ -46,7 +46,8 @@ blocks = [
 ]
 
 kl = ts._pad_k(args.k)
-tables_j = jax.jit(lambda p: ts.topk_tables(model, p, kl, True))
+cmax = ts.default_cmax(N)
+tables_j = jax.jit(lambda p: ts.topk_tables_delta(model, p, kl, True, cmax))
 
 
 def sync(x):
@@ -70,13 +71,14 @@ rep = ens.replicas
 params = jnp.concatenate([
     jnp.asarray(ts.law_params_array(model.law)), jnp.zeros(2, jnp.float32)
 ])
-topd, topi, resc = tabs
+topd, topi, resc, ci, cnbr, chg, mode = tabs
 
 
 def step(state, frame0):
     occ, lab, sites, tlast, tls, db, u, evc, sd, pp = state
     out = ts.topk_sweep(
-        blocks[0], topd, topi, resc, pp, sd, occ, lab, sites, tlast, tls, db,
+        blocks[0], topd, topi, resc, ci, cnbr, chg, mode,
+        pp, sd, occ, lab, sites, tlast, tls, db,
         u, evc, params, jnp.int32(frame0), model.cell.h, model.cell.h_inv, 0,
         kind=0, k_cand=args.k, tile=args.tile, max_events=args.max_events,
         dt=0.5, seed=3, has_interp=False, interpret=jax.default_backend() != "tpu",
