@@ -31,6 +31,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from cmdlmc_tpu.topo.models import k_smallest as topo_k_smallest
 from cmdlmc_tpu.core.cell import Cell, displacement as cell_displacement, pairwise_distances
 from cmdlmc_tpu.engine import clock as kmc_clock
 from cmdlmc_tpu.engine.clock import ClockState
@@ -127,8 +128,7 @@ def water_shared(model: WaterModel, positions: Array):
     d = pairwise_distances(model.cell, positions, positions)
     n = d.shape[0]
     d = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, d)
-    neg_d, nbr = jax.lax.top_k(-d, model.n_atoms)
-    dist = -neg_d
+    dist, nbr = topo_k_smallest(d, model.n_atoms)
     resc = model.transform(dist) if model.transform is not None else dist
     return dist, resc, nbr.astype(jnp.int32)
 

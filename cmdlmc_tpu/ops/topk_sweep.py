@@ -746,8 +746,10 @@ def _entry_tlast_site(rep):
 
 def default_cmax(n_sites: int) -> int:
     """Delta-refresh width: enough columns for typical per-frame identity
-    churn while keeping the delta matmuls O(K*N*C) << O(K*N^2)."""
-    return max(min(256, n_sites), 1)
+    churn (which scales with N) while keeping the delta matmuls
+    O(K*N*C) << O(K*N^2). N/8 columns changing per frame still gives an
+    8x-smaller refresh; more than that falls back to the full gather."""
+    return max(min(max(256, n_sites // 8), n_sites, 1024), 1)
 
 
 def run_block_topk(

@@ -137,8 +137,7 @@ class TopKPairRates:
         n = d.shape[0]
         d = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, d)
         d = jnp.where(d <= self.cutoff + self.buffer, d, jnp.inf)
-        neg_d, nbr = jax.lax.top_k(-d, min(self.k, n - 1))
-        dist = -neg_d
+        dist, nbr = k_smallest(d, min(self.k, n - 1))
         valid = jnp.isfinite(dist)
         dist = jnp.where(valid, dist, 1e6)
         return TopKShared(
@@ -157,6 +156,29 @@ class TopKPairRates:
 # ----------------------------------------------------------------------------
 # AngleTopology
 # ----------------------------------------------------------------------------
+
+
+def k_smallest(d: Array, k: int):
+    """Exact k-nearest extraction: (dist [N, k] ascending, idx [N, k]).
+
+    Bit-identical to ``lax.top_k(-d, k)`` (first-lowest-index tie-break), but
+    ~6x faster on TPU at supercell N — XLA's sort-based TopK costs ~19 ms per
+    [4608, 4608] frame while k unrolled argmin+mask passes cost ~3 ms
+    (tools/profile_stage1.py). For large k the unrolled extraction loses to
+    the single sort, so fall back to lax.top_k past k=32 (the framework's
+    neighbor-list k is 3-16)."""
+    if k > 32:
+        neg_d, idx = jax.lax.top_k(-d, k)
+        return -neg_d, idx
+    n = d.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, d.shape, d.ndim - 1)
+    dists, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmin(d, axis=-1)
+        dists.append(jnp.min(d, axis=-1))
+        idxs.append(i)
+        d = jnp.where(iota == i[..., None], jnp.inf, d)
+    return jnp.stack(dists, axis=-1), jnp.stack(idxs, axis=-1)
 
 
 def determine_groups(
@@ -255,8 +277,7 @@ class HydroniumRates:
         n = d.shape[0]
         d = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, d)
         d = jnp.where(d <= self.cutoff + self.buffer, d, jnp.inf)
-        neg_d, nbr = jax.lax.top_k(-d, min(self.k, n - 1))
-        dist = -neg_d
+        dist, nbr = k_smallest(d, min(self.k, n - 1))
         valid = jnp.isfinite(dist)
         dist = jnp.where(valid, dist, 1e6)
         rescaled = self.transform(dist) if self.transform is not None else dist

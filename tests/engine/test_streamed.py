@@ -291,10 +291,15 @@ def test_stale_rates_mode():
     distributionally at moderate rates (both are valid KMC discretizations;
     the reference itself uses the stale form), and (c) preserve occupancy
     invariants."""
-    # (a) cold rates: virtually no multi-event frames -> identical statistics,
-    # and the expected-event-count law holds exactly
+    # (a) cold rates: no multi-event frames under this seed -> identical
+    # event streams, and the expected-event-count law holds. (On a frame's
+    # SECOND event the modes legitimately pick different pairs even for a
+    # Constant law: stale rows exist only for frame-start sources, so the
+    # candidate set differs from a fresh recompute — at a=0.01 this run has
+    # ~160 two-event frames and 9/64 replicas end with different occupancy;
+    # a=0.002 has none, making the exact comparison meaningful.)
     n_sites, n_protons, R, F = 10, 4, 64, 400
-    a, dt = 0.01, 0.5
+    a, dt = 0.002, 0.5
     model, positions, ens = build(
         n_sites, n_protons, R, Constant(a=jnp.float32(a)), 100.0, 0.0,
         Cell.cubic([30.0] * 3),

@@ -20,6 +20,8 @@ ap.add_argument("--blocks", type=int, default=4)
 ap.add_argument("--tile", type=int, default=128)
 ap.add_argument("--k", type=int, default=8)
 ap.add_argument("--max-events", type=int, default=4)
+ap.add_argument("--drift", type=float, default=None,
+                help="random-walk step scale per frame (MD-like temporal correlation) instead of independent jitter")
 args = ap.parse_args()
 if args.platform:
     jax.config.update("jax_platforms", args.platform)
@@ -40,10 +42,23 @@ model = TopKPairRates(
     law=Fermi(a=jnp.float32(0.06), b=jnp.float32(2.3), c=jnp.float32(0.1)),
     cutoff=jnp.float32(3.0), buffer=jnp.float32(2.0), k=args.k,
 )
-blocks = [
-    jnp.asarray(positions[None] + rng.normal(scale=0.03, size=(B, N, 3)).astype(np.float32))
-    for _ in range(args.blocks + 1)
-]
+if args.drift is not None:
+    # temporally-correlated frames: a bounded random walk around the base
+    # geometry (real MD moves atoms ~0.001-0.01 A per 0.4 fs frame; candidate
+    # identities then change rarely, the regime the delta refresh serves)
+    walk = np.cumsum(
+        rng.normal(scale=args.drift,
+                   size=((args.blocks + 1) * B, N, 3)).astype(np.float32),
+        axis=0,
+    )
+    frames_all = positions[None] + walk
+    blocks = [jnp.asarray(frames_all[i * B:(i + 1) * B])
+              for i in range(args.blocks + 1)]
+else:
+    blocks = [
+        jnp.asarray(positions[None] + rng.normal(scale=0.03, size=(B, N, 3)).astype(np.float32))
+        for _ in range(args.blocks + 1)
+    ]
 
 kl = ts._pad_k(args.k)
 cmax = ts.default_cmax(N)
@@ -63,6 +78,9 @@ for k in range(1, args.blocks + 1):
 sync(tabs[0])
 t_tab = (time.perf_counter() - t0) / args.blocks
 print(f"stage1 tables : {t_tab*1e3/B:8.4f} ms/frame", flush=True)
+mode_hist = np.bincount(np.asarray(tabs[6]), minlength=3)
+print(f"refresh modes : none={mode_hist[0]} delta={mode_hist[1]} "
+      f"full={mode_hist[2]} (cmax={cmax})", flush=True)
 
 # ---- stage 2: kernel with fixed tables
 key = jax.random.key(0)
