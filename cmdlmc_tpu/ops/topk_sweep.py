@@ -65,18 +65,63 @@ def topk_unsupported_reason(model) -> str | None:
     return None
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
 def topk_tables(model, positions_block, kl: int, precompute_law: bool = False):
     """Replica-independent per-frame tables from ``model.shared``:
     (topd, topi, resc), each [B, kl, N] f32 with invalid slots at 1e6.
-    Evaluated in XLA (chunked so the transient [N, N] distance matrices never
-    exceed a few frames' worth of HBM). Jitted: lax.map outside jit would
-    dispatch each chunk as a separate device call (tunnel round trips).
 
     With ``precompute_law`` the third table carries the rate law already
     applied to the rescaled distance (0 at invalid slots) — replica-independent
     when there is no residence-time interpolation, so the kernel's event loop
-    never evaluates a transcendental law at all."""
+    never evaluates a transcendental law at all.
+
+    On TPU, plain TopKPairRates tables route to the fused Pallas builder
+    (ops/knn_tables.py): distances + k-select in VMEM, no [N, N] HBM
+    round-trips. The dispatch happens OUTSIDE jit so the env toggles
+    (CMDLMC_FORCE_PALLAS / CMDLMC_NO_PALLAS) are honored per call, not baked
+    into a cached trace."""
+    from cmdlmc_tpu.ops.knn_tables import use_knn_pallas
+
+    positions_block = jnp.asarray(positions_block, jnp.float32)
+    if use_knn_pallas(model, positions_block.shape[1]):
+        return _topk_tables_pallas(model, positions_block, kl, precompute_law)
+    return _topk_tables_xla(model, positions_block, kl, precompute_law)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _topk_tables_pallas(model, positions_block, kl: int, precompute_law: bool):
+    from cmdlmc_tpu.ops.knn_tables import knn_block_tables
+
+    n = positions_block.shape[1]
+    topd, topi = knn_block_tables(
+        positions_block,
+        jnp.diagonal(model.cell.h),
+        model.cutoff + model.buffer,
+        k=min(int(model.k), n - 1),
+        kl=kl,
+        interpret=jax.default_backend() != "tpu",
+    )
+    transform = getattr(model, "transform", None)
+    if transform is not None:
+        # parity with the XLA build: the transform sees the 1e6 invalid fill
+        # of the k real slots, while the kl-k pad rows stay at raw 1e6
+        resc = transform(topd)
+        k = min(int(model.k), n - 1)
+        if kl > k:
+            resc = resc.at[:, k:, :].set(_BIG)
+    else:
+        resc = topd
+    if precompute_law:
+        omega = model.law(jnp.minimum(resc, 50.0))
+        resc = jnp.where(topd < 1.0e5, omega, 0.0)
+    return topd, topi, resc
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _topk_tables_xla(model, positions_block, kl: int, precompute_law: bool = False):
+    """The XLA build: ``model.shared`` per frame under lax.map (chunked so the
+    transient [N, N] distance matrices never exceed a few frames' worth of
+    HBM; jitted because lax.map outside jit would dispatch each chunk as a
+    separate device call — tunnel round trips)."""
 
     def one(pos):
         frame = Frame(donors=pos, extras=None, time=jnp.float32(0.0),
@@ -97,7 +142,6 @@ def topk_tables(model, positions_block, kl: int, precompute_law: bool = False):
                        batch_size=8)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def topk_tables_delta(model, positions_block, kl: int,
                       precompute_law: bool = False, cmax: int = 256):
     """:func:`topk_tables` plus frame-to-frame candidate-identity change
@@ -121,8 +165,18 @@ def topk_tables_delta(model, positions_block, kl: int,
 
     All three refresh modes produce bit-identical occ[nbr] states, so results
     are independent of CMAX and chunking (the engine's chunk-invariance
-    property is preserved by construction)."""
-    topd, topi, resc = topk_tables(model, positions_block, kl, precompute_law)
+    property is preserved by construction).
+
+    Un-jitted wrapper: the stage-1 build dispatch (Pallas vs XLA) happens in
+    :func:`topk_tables` outside jit; the epilogue below is jitted."""
+    positions_block = jnp.asarray(positions_block, jnp.float32)
+    tables = topk_tables(model, positions_block, kl, precompute_law)
+    return _delta_epilogue(tables, cmax)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _delta_epilogue(tables, cmax: int):
+    topd, topi, resc = tables
     ti = topi.astype(jnp.int32)  # [B, KL, N]
     B, KL, N = ti.shape
     c = max(min(abs(cmax), N), 1)
