@@ -263,6 +263,7 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
         phase_scr = refs[next(it)]
         done_scr = refs[next(it)]
         coord_scr = refs[next(it)]  # [8, N]: rows s_xyz | post_xyz | pad
+        tab_scr = refs[next(it)]  # [2*KL, N]: rows topi | topd (per frame)
         occn = [refs[next(it)] for _ in range(K)]  # each [TR, N]
 
         h = [[geom_ref[3 * i + j] for j in range(3)] for i in range(3)]
@@ -372,16 +373,23 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
             src = jnp.argmax(row_sel / eB, axis=1)[:, None]  # [TR, 1]
 
             oh_src = (iota_n == src).astype(f32)
+            # per-slot table values at the source column, as ONE [TR, N] x
+            # [N, 2*KL] MXU one-hot gather against the stacked id|distance
+            # tables (tab_scr, built per frame) instead of 2*K masked [TR, N]
+            # reductions; the slot pick then runs on the tiny [TR, KL] result.
+            # Ids are exact through the MXU (one nonzero product, recovered by
+            # the round below); d_evt only feeds the histogram binning.
+            gtab = jax.lax.dot_general(
+                oh_src, tab_scr[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            )  # [TR, 2*KL]: topi values | topd values at src
+            kl2 = tab_scr.shape[0] // 2
             dst_f = jnp.zeros((TR, 1), f32)
             d_evt = jnp.zeros((TR, 1), f32)
             for k in range(K):
                 sel = (kbest == k).astype(f32)
-                dst_f = dst_f + sel * jnp.sum(
-                    oh_src * topi[k : k + 1, :], axis=1, keepdims=True
-                )
-                d_evt = d_evt + sel * jnp.sum(
-                    oh_src * topd[k : k + 1, :], axis=1, keepdims=True
-                )
+                dst_f = dst_f + sel * gtab[:, k : k + 1]
+                d_evt = d_evt + sel * gtab[:, kl2 + k : kl2 + k + 1]
             dst = jnp.round(dst_f).astype(jnp.int32)
             oh_dst = (iota_n == dst).astype(f32)
 
@@ -471,6 +479,9 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
             coord_scr[:] = jnp.concatenate(
                 [s_scr[:], post, jnp.zeros((2, N), f32)], axis=0
             )
+            # stacked id|distance table matrix for the per-event one-hot
+            # MXU gather of (dst id, jump distance) at the source column
+            tab_scr[:] = jnp.concatenate([topi, topd], axis=0)
 
             # occ[nbr_k] maintenance. Occupancy changes only at events (the
             # event loop applies per-event increments), so the O(K*N^2)
@@ -725,6 +736,7 @@ def topk_sweep(
         pltpu.VMEM((TR, 1), jnp.float32),  # phase
         pltpu.VMEM((TR, 1), jnp.bool_),  # done
         pltpu.VMEM((8, N), jnp.float32),  # coord_scr
+        pltpu.VMEM((2 * topd.shape[1], N), jnp.float32),  # tab_scr
     ] + [pltpu.VMEM((TR, N), jnp.float32) for _ in range(k_cand)]  # occn
 
     # the resident [B, KL, N] candidate tables blow Mosaic's default 16 MB
@@ -739,6 +751,7 @@ def topk_sweep(
     vmem += 6 * padded(TR, N)  # occ, labels, tlast_site in+out
     vmem += 10 * padded(TR, P) + 7 * padded(TR, 1)
     vmem += 6 * padded(3, N) + padded(8, N) + k_cand * padded(TR, N)
+    vmem += padded(2 * kl, N)  # tab_scr
     if nbins:
         vmem += 4 * padded(TR, nbins)
     if track_matrix:
