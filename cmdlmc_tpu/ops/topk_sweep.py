@@ -37,6 +37,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -76,15 +77,48 @@ def topk_tables(model, positions_block, kl: int, precompute_law: bool = False):
 
     On TPU, plain TopKPairRates tables route to the fused Pallas builder
     (ops/knn_tables.py): distances + k-select in VMEM, no [N, N] HBM
-    round-trips. The dispatch happens OUTSIDE jit so the env toggles
-    (CMDLMC_FORCE_PALLAS / CMDLMC_NO_PALLAS) are honored per call, not baked
-    into a cached trace."""
+    round-trips. At supercell scale (N >= knn_sparse.SPARSE_MIN_N) a
+    host-side spatial plan first checks whether chunk-level pruning pays
+    (ops/knn_sparse.py, bit-identical output); if it does, the sparse
+    kernel skips the pruned row-chunk DMAs entirely. The dispatch happens
+    OUTSIDE jit so the env toggles (CMDLMC_FORCE_PALLAS / CMDLMC_NO_PALLAS)
+    are honored per call, not baked into a cached trace."""
     from cmdlmc_tpu.ops.knn_tables import use_knn_pallas
 
     positions_block = jnp.asarray(positions_block, jnp.float32)
     if use_knn_pallas(model, positions_block.shape[1]):
+        from cmdlmc_tpu.ops.knn_sparse import sparse_plan_for
+
+        plan = sparse_plan_for(
+            positions_block,
+            np.diagonal(np.asarray(model.cell.h)),
+            float(model.cutoff) + float(model.buffer),
+        )
+        if plan is not None:
+            return _topk_tables_sparse(
+                model, positions_block, kl, precompute_law, plan
+            )
         return _topk_tables_pallas(model, positions_block, kl, precompute_law)
     return _topk_tables_xla(model, positions_block, kl, precompute_law)
+
+
+def _tables_epilogue(model, topd, topi, kl: int, precompute_law: bool):
+    """Shared transform/law stage over builder output (any stage-1 path)."""
+    n = topd.shape[2]
+    transform = getattr(model, "transform", None)
+    if transform is not None:
+        # parity with the XLA build: the transform sees the 1e6 invalid fill
+        # of the k real slots, while the kl-k pad rows stay at raw 1e6
+        resc = transform(topd)
+        k = min(int(model.k), n - 1)
+        if kl > k:
+            resc = resc.at[:, k:, :].set(_BIG)
+    else:
+        resc = topd
+    if precompute_law:
+        omega = model.law(jnp.minimum(resc, 50.0))
+        resc = jnp.where(topd < 1.0e5, omega, 0.0)
+    return topd, topi, resc
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
@@ -100,20 +134,37 @@ def _topk_tables_pallas(model, positions_block, kl: int, precompute_law: bool):
         kl=kl,
         interpret=jax.default_backend() != "tpu",
     )
-    transform = getattr(model, "transform", None)
-    if transform is not None:
-        # parity with the XLA build: the transform sees the 1e6 invalid fill
-        # of the k real slots, while the kl-k pad rows stay at raw 1e6
-        resc = transform(topd)
-        k = min(int(model.k), n - 1)
-        if kl > k:
-            resc = resc.at[:, k:, :].set(_BIG)
-    else:
-        resc = topd
-    if precompute_law:
-        omega = model.law(jnp.minimum(resc, 50.0))
-        resc = jnp.where(topd < 1.0e5, omega, 0.0)
-    return topd, topi, resc
+    return _tables_epilogue(model, topd, topi, kl, precompute_law)
+
+
+def _topk_tables_sparse(model, positions_block, kl: int,
+                        precompute_law: bool, plan):
+    return _topk_tables_sparse_jit(
+        model, positions_block,
+        jnp.asarray(plan.perm), jnp.asarray(plan.inv),
+        jnp.asarray(plan.lists),
+        kl, precompute_law, plan.n_ch, int(plan.lists.shape[1]),
+        plan.rc, plan.tc,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10))
+def _topk_tables_sparse_jit(model, positions_block, perm, inv, lists,
+                            kl: int, precompute_law: bool, n_ch: int,
+                            maxa: int, rc: int, tc: int):
+    from cmdlmc_tpu.ops.knn_sparse import knn_sparse_tables
+
+    n = positions_block.shape[1]
+    topd, topi = knn_sparse_tables(
+        positions_block,
+        jnp.diagonal(model.cell.h),
+        model.cutoff + model.buffer,
+        perm, inv, lists,
+        k=min(int(model.k), n - 1),
+        kl=kl, rc=rc, tc=tc, n_ch=n_ch, maxa=maxa,
+        interpret=jax.default_backend() != "tpu",
+    )
+    return _tables_epilogue(model, topd, topi, kl, precompute_law)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
