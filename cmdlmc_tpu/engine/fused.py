@@ -136,14 +136,44 @@ def run_block_fused(
     caps' telemetry, mirroring the scan engine's ObsRow.truncated_mean)."""
     rep = ens.replicas
     R = rep.occ.shape[0]
-    if tile is None:
-        tile = pick_tile(R, n_sites=rep.occ.shape[1])
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     if isinstance(model, (TopKPairRates, HydroniumRates)):
         from cmdlmc_tpu.ops import topk_sweep as ts
 
+        if tile is None:
+            # the top-K kernel's true VMEM bound depends on block length
+            # (resident candidate tables) as well as N — pick from the
+            # footprint estimate, not site-count thresholds
+            tile = ts.pick_tile_topk(
+                R, n_sites=rep.occ.shape[1],
+                n_protons=rep.site_of_proton.shape[1],
+                block=len(frames_positions),
+                k_cand=int(model.k), nbins=rep.jump_hist.shape[-1],
+                track_matrix=rep.jump_matrix.shape[-1] != 0,
+            )
+        B = len(frames_positions)
+        chunk = ts.pick_frame_chunk(B, rep.occ.shape[1], int(model.k))
+        if chunk < B:
+            # bit-exact frame sub-chunking (RNG keyed by global frame and
+            # event ordinal) keeps the block-resident candidate tables
+            # within VMEM at supercell N — same pattern as the streamed
+            # path's HBM-budget chunking below
+            trunc_total = None
+            for s in range(0, B, chunk):
+                e = min(s + chunk, B)
+                ens, trunc = run_block_fused(
+                    model, cell, ens, frames_positions[s:e],
+                    frame0 + s, dt=dt, max_events=max_events, seed=seed,
+                    tile=tile, interpret=interpret,
+                    tile_offset=tile_offset, return_truncation=True,
+                    hist_range=hist_range,
+                )
+                trunc_total = (
+                    trunc if trunc_total is None else trunc_total + trunc
+                )
+            return (ens, trunc_total) if return_truncation else ens
         out = ts.run_block_topk(
             model, ens, frames_positions, frame0,
             dt=dt, max_events=max_events, seed=seed, tile=tile,
@@ -151,6 +181,8 @@ def run_block_fused(
             hist_range=hist_range,
         )
     else:
+        if tile is None:
+            tile = pick_tile(R, n_sites=rep.occ.shape[1])
         nbins = rep.jump_hist.shape[-1]
         track_matrix = rep.jump_matrix.shape[-1] != 0
         kind = ks.law_kind(model.law)
@@ -344,7 +376,19 @@ def run_block_fused_sharded(
     assert R % n_dev == 0, (R, n_dev)
     local_r = R // n_dev
     if tile is None:
-        tile = pick_tile(local_r, n_sites=ens.replicas.occ.shape[1])
+        if isinstance(model, (TopKPairRates, HydroniumRates)):
+            from cmdlmc_tpu.ops import topk_sweep as ts
+
+            tile = ts.pick_tile_topk(
+                local_r, n_sites=ens.replicas.occ.shape[1],
+                n_protons=ens.replicas.site_of_proton.shape[1],
+                block=len(frames_positions),
+                k_cand=int(model.k),
+                nbins=ens.replicas.jump_hist.shape[-1],
+                track_matrix=ens.replicas.jump_matrix.shape[-1] != 0,
+            )
+        else:
+            tile = pick_tile(local_r, n_sites=ens.replicas.occ.shape[1])
     assert local_r % tile == 0, (local_r, tile)
     tiles_per_dev = local_r // tile
 

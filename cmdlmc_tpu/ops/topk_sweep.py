@@ -792,21 +792,20 @@ def topk_sweep(
 
     # the resident [B, KL, N] candidate tables blow Mosaic's default 16 MB
     # scoped-VMEM cap at supercell N / long blocks — raise it to the estimate
-    from cmdlmc_tpu.ops.vmem_budget import limit_bytes, padded_bytes as padded
+    from cmdlmc_tpu.ops.vmem_budget import limit_bytes
 
     kl = topd.shape[1]
-    vmem = padded(B, 3, N) + 3 * padded(B, kl, N)  # post + topd/topi/resc
-    # change-metadata tables + the delta path's [N, C] one-hot temporaries
-    vmem += padded(B, 1, C) + padded(B, kl, C) + padded(B, 1, N)
-    vmem += 3 * padded(N, C)
-    vmem += 6 * padded(TR, N)  # occ, labels, tlast_site in+out
-    vmem += 10 * padded(TR, P) + 7 * padded(TR, 1)
-    vmem += 6 * padded(3, N) + padded(8, N) + k_cand * padded(TR, N)
-    vmem += padded(2 * kl, N)  # tab_scr
-    if nbins:
-        vmem += 4 * padded(TR, nbins)
-    if track_matrix:
-        vmem += padded(N, N)
+    vmem = vmem_estimate(
+        n_sites=N, n_protons=P, tile=TR, block=B, kl=kl, cmax=C,
+        k_cand=k_cand, nbins=nbins, track_matrix=track_matrix,
+    )
+    if not interpret and vmem > HW_VMEM_BYTES:
+        raise ValueError(
+            f"top-K kernel VMEM estimate {vmem >> 20} MB exceeds the chip's "
+            f"{HW_VMEM_BYTES >> 20} MB at tile={TR}, block={B}, N={N}: "
+            "reduce [Engine] tile and/or block_size (the resident candidate "
+            "tables scale with block*N, the event-loop state with tile*N)"
+        )
 
     res = pl.pallas_call(
         kernel,
@@ -862,12 +861,110 @@ def _entry_tlast_site(rep):
     return entry_tlast_site(rep.occ, rep.proton_of_site, rep.t_last_jump)
 
 
+# v5e VMEM capacity. The total estimate below tracks the measured
+# compile-time footprint within ~10% (N=4608/P=3072/TR=128/B=128: estimate
+# 181 MB vs XLA-reported 168 MB used). Mosaic's SCOPED stack size is
+# scheduling-dependent (measured 104-117 MB across tile/block combinations
+# at N=4608 with no monotone pattern), so the dispatch policy below uses
+# split per-term budgets calibrated on hardware compiles instead of one
+# total: at N=4608/P=3072/cmax=576 (v5e), (tile=64, block=64) compiles and
+# runs at 2.77 G su/s while (64,128), (128,32) and (128,128) are all
+# rejected by the compiler.
+HW_VMEM_BYTES = 128 << 20
+_TR_STATE_BUDGET = 26 << 20  # tile-linear event-loop state (TR=64 @N=4608: 24.3 MB ok; TR=128: 49 MB OOM)
+_RESIDENT_BUDGET = 52 << 20  # block-resident tables (B=64 @N=4608: 49.4 MB ok; B=128: 98.8 MB OOM)
+_NC_BUDGET = 36 << 20  # delta-refresh [N, cmax] one-hot temporaries (N=4608 default cmax=576 -> 35.4 MB padded: ok)
+
+
+def _tr_state_bytes(n_sites: int, n_protons: int, tile: int,
+                    k_cand: int) -> int:
+    from cmdlmc_tpu.ops.vmem_budget import padded_bytes as padded
+
+    return (
+        (6 + k_cand) * padded(tile, n_sites)  # occ/labels/tls in+out, occn
+        + 10 * padded(tile, n_protons)
+        + 7 * padded(tile, 1)
+    )
+
+
+def _resident_bytes(n_sites: int, block: int, kl: int) -> int:
+    from cmdlmc_tpu.ops.vmem_budget import padded_bytes as padded
+
+    # post + topd/topi/resc + chg, all [B, ., N] and resident across the grid
+    return padded(block, 3, n_sites) + 3 * padded(block, kl, n_sites) \
+        + padded(block, 1, n_sites)
+
+
+def vmem_estimate(*, n_sites: int, n_protons: int, tile: int, block: int,
+                  kl: int, cmax: int, k_cand: int, nbins: int,
+                  track_matrix: bool) -> int:
+    """Total VMEM footprint of one :func:`topk_sweep` grid step in bytes:
+    the block-resident candidate tables plus the per-tile event-loop state
+    and scratch (same accounting the compiler budget is derived from)."""
+    from cmdlmc_tpu.ops.vmem_budget import padded_bytes as padded
+
+    N, C = n_sites, cmax
+    vmem = _resident_bytes(N, block, kl)
+    # change-metadata tables + the delta path's [N, C] one-hot temporaries
+    vmem += padded(block, 1, C) + padded(block, kl, C)
+    vmem += 3 * padded(N, C)
+    vmem += _tr_state_bytes(N, n_protons, tile, k_cand)
+    vmem += 6 * padded(3, N) + padded(8, N)
+    vmem += padded(2 * kl, N)  # tab_scr
+    if nbins:
+        vmem += 4 * padded(tile, nbins)
+    if track_matrix:
+        vmem += padded(N, N)
+    return vmem
+
+
+def pick_tile_topk(n_replicas: int, *, n_sites: int, n_protons: int,
+                   block: int, k_cand: int, nbins: int, track_matrix: bool,
+                   target: int = 128) -> int:
+    """Largest replica tile (divisor of R, <= target) whose tile-linear
+    event-loop state fits the empirical scoped-stack budget — replaces the
+    site-count thresholds of :func:`engine.fused.pick_tile` for the top-K
+    path. Block length is handled separately (:func:`pick_frame_chunk`)."""
+    del block, nbins, track_matrix  # bounded by the frame-chunk policy
+    kc = min(k_cand, n_sites - 1)
+    t = min(target, n_replicas)
+    while n_replicas % t:
+        t -= 1
+    while t > 8 and _tr_state_bytes(n_sites, n_protons, t, kc) > _TR_STATE_BUDGET:
+        nt = t // 2
+        while n_replicas % nt:
+            nt -= 1
+        t = nt
+    return t
+
+
+def pick_frame_chunk(n_frames: int, n_sites: int, k_cand: int) -> int:
+    """Largest frame sub-block whose resident candidate tables fit the
+    empirical budget. Chunking a block is bit-exact: RNG draws are keyed by
+    global frame and event ordinal, and every chunk entry does a full
+    occ[nbr] refresh, which is identical to the delta-maintained state."""
+    kl = _pad_k(min(k_cand, n_sites - 1))
+    b = n_frames
+    while b > 1 and _resident_bytes(n_sites, b, kl) > _RESIDENT_BUDGET:
+        b = (b + 1) // 2
+    return b
+
+
 def default_cmax(n_sites: int) -> int:
     """Delta-refresh width: enough columns for typical per-frame identity
     churn (which scales with N) while keeping the delta matmuls
     O(K*N*C) << O(K*N^2). N/8 columns changing per frame still gives an
-    8x-smaller refresh; more than that falls back to the full gather."""
-    return max(min(max(256, n_sites // 8), n_sites, 1024), 1)
+    8x-smaller refresh; more than that falls back to the full gather.
+    Capped so the delta pass's [N, cmax] one-hot temporaries stay within
+    the scoped-VMEM budget at large N (results are cmax-independent — a
+    narrower width only trades delta refreshes for column-chunked full
+    ones)."""
+    from cmdlmc_tpu.ops.vmem_budget import padded_bytes as padded
+
+    c = max(min(max(256, n_sites // 8), n_sites, 1024), 1)
+    while c > 128 and 3 * padded(n_sites, c) > _NC_BUDGET:
+        c -= 128
+    return c
 
 
 def run_block_topk(

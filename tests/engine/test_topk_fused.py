@@ -239,3 +239,62 @@ def test_topk_chunk_invariance():
         np.asarray(whole.replicas.disp_base),
         np.asarray(half.replicas.disp_base), atol=1e-4,
     )
+
+
+def test_auto_frame_chunk_bit_exact(monkeypatch):
+    """run_block_fused's VMEM-driven frame sub-chunking (pick_frame_chunk)
+    must be bit-exact vs the unchunked run: RNG draws are keyed by global
+    frame + event ordinal and every chunk entry does a full occ[nbr]
+    refresh."""
+    from cmdlmc_tpu.ops import topk_sweep as ts
+
+    frames_np = make_frames(12, 96, 10.0)
+    cell = Cell.cubic([10.0] * 3)
+    model = TopKPairRates(cell=cell, law=LAW, cutoff=jnp.float32(3.0),
+                          buffer=jnp.float32(1.5), k=8)
+    ens0, _ = init(12, 4, frames_np[0])
+    whole = fused.run_block_fused(model, cell, ens0, jnp.asarray(frames_np),
+                                  0, dt=DT, seed=2, tile=32, interpret=True)
+    # shrink the resident-table budget so the 96-frame block auto-chunks
+    kl = ts._pad_k(8)
+    need = ts._resident_bytes(12, 96, kl)
+    monkeypatch.setattr(ts, "_RESIDENT_BUDGET", need // 3)
+    assert ts.pick_frame_chunk(96, 12, 8) < 96
+    chunked = fused.run_block_fused(model, cell, ens0,
+                                    jnp.asarray(frames_np), 0, dt=DT,
+                                    seed=2, tile=32, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(whole.replicas.site_of_proton),
+        np.asarray(chunked.replicas.site_of_proton),
+    )
+    np.testing.assert_allclose(np.asarray(whole.replicas.disp_base),
+                               np.asarray(chunked.replicas.disp_base),
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(whole.replicas.jumps),
+                                  np.asarray(chunked.replicas.jumps))
+
+
+def test_topk_budget_policies():
+    """pick_tile_topk / pick_frame_chunk / default_cmax respect their
+    empirical budgets and their divisibility/monotonicity contracts."""
+    from cmdlmc_tpu.ops import topk_sweep as ts
+
+    # supercell scale: tile halves until the event-loop state fits
+    t = ts.pick_tile_topk(4096, n_sites=4608, n_protons=3072, block=128,
+                          k_cand=8, nbins=0, track_matrix=False)
+    assert 4096 % t == 0
+    assert ts._tr_state_bytes(4608, 3072, t, 8) <= ts._TR_STATE_BUDGET
+    assert t <= 64  # TR=128 at N=4608 is over the measured budget
+    # small problems keep the full target tile
+    assert ts.pick_tile_topk(4096, n_sites=144, n_protons=96, block=128,
+                             k_cand=16, nbins=8, track_matrix=True) == 128
+    # frame chunk honors the resident budget and never returns 0
+    b = ts.pick_frame_chunk(2000, 4608, 8)
+    assert 1 <= b <= 2000
+    assert ts._resident_bytes(4608, b, ts._pad_k(8)) <= ts._RESIDENT_BUDGET
+    assert ts.pick_frame_chunk(64, 144, 8) == 64  # small N: no chunking
+    # cmax cap keeps the delta temporaries bounded at large N
+    from cmdlmc_tpu.ops.vmem_budget import padded_bytes
+    c = ts.default_cmax(4608)
+    assert 3 * padded_bytes(4608, c) <= ts._NC_BUDGET
+    assert ts.default_cmax(144) == 144

@@ -1,0 +1,72 @@
+# End-to-end top-K supercell bench THROUGH run_block_fused: exercises the
+# auto tile pick (pick_tile_topk), the frame sub-chunking (pick_frame_chunk)
+# and the stage-1 dispatch (dense Pallas / sparse-plan) exactly as the
+# driver would, and reports combined site-updates/s.
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--platform", default=None)
+ap.add_argument("--replicas", type=int, default=4096)
+ap.add_argument("--sites", type=int, default=4608)
+ap.add_argument("--protons", type=int, default=3072)
+ap.add_argument("--block-frames", type=int, default=256)
+ap.add_argument("--blocks", type=int, default=3)
+ap.add_argument("--tile", type=int, default=None)
+ap.add_argument("--k", type=int, default=8)
+ap.add_argument("--drift", type=float, default=0.004)
+args = ap.parse_args()
+if args.platform:
+    jax.config.update("jax_platforms", args.platform)
+
+from cmdlmc_tpu.core.cell import Cell
+from cmdlmc_tpu.engine.fused import run_block_fused
+from cmdlmc_tpu.engine.lattice import init_replicas
+from cmdlmc_tpu.rates.laws import Fermi
+from cmdlmc_tpu.topo.models import TopKPairRates
+
+rng = np.random.RandomState(0)
+R, N, P, B = args.replicas, args.sites, args.protons, args.block_frames
+L = 14.5 * (N / 144.0) ** (1 / 3)
+positions = rng.uniform(0, L, size=(N, 3)).astype(np.float32)
+cell = Cell.cubic([L, L, L])
+model = TopKPairRates(
+    cell=cell,
+    law=Fermi(a=jnp.float32(0.06), b=jnp.float32(2.3), c=jnp.float32(0.1)),
+    cutoff=jnp.float32(3.0), buffer=jnp.float32(2.0), k=args.k,
+)
+walk = np.cumsum(
+    rng.normal(scale=args.drift,
+               size=((args.blocks + 1) * B, N, 3)).astype(np.float32),
+    axis=0,
+)
+frames_all = positions[None] + walk
+blocks = [np.ascontiguousarray(frames_all[i * B:(i + 1) * B])
+          for i in range(args.blocks + 1)]
+
+ens = init_replicas(jax.random.key(0), R, N, P, jnp.asarray(blocks[0][0]))
+t0 = time.time()
+ens = run_block_fused(model, cell, ens, blocks[0], 0, dt=0.5, seed=3,
+                      tile=args.tile)
+jumps0 = float(np.asarray(ens.replicas.jumps, np.float64).sum())
+t1 = time.time()
+print(f"warmup (compile): {t1 - t0:.1f} s", flush=True)
+t2 = time.time()
+for i in range(1, args.blocks + 1):
+    ens = run_block_fused(model, cell, ens, blocks[i], i * B, dt=0.5,
+                          seed=3, tile=args.tile)
+jumps = float(np.asarray(ens.replicas.jumps, np.float64).sum())  # sync
+t3 = time.time()
+frames = args.blocks * B
+su = R * N * frames / (t3 - t2)
+print(f"end-to-end: {(t3 - t2) / frames * 1e3:.3f} ms/frame  "
+      f"{su / 1e9:.3f} G su/s  jumps/rep {(jumps - jumps0) / R:.1f}",
+      flush=True)
