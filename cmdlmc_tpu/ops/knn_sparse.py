@@ -193,10 +193,11 @@ def _sparse_kernel(lists_ref, geom_ref, posr_ref, posc_ref,
     uni_d = jnp.concatenate([m for m, _ in chunk] + [topd_ref[0]], axis=0)
     uni_i = jnp.concatenate([i for _, i in chunk] + [topi_ref[0]], axis=0)
     merged = _extract_k(uni_d, uni_i, k, nf, inf)
-    pad_d = jnp.full((kl - k, tc), inf, f32)
-    pad_i = jnp.full((kl - k, tc), nf, f32)
-    new_d = jnp.concatenate([m for m, _ in merged] + [pad_d], axis=0)
-    new_i = jnp.concatenate([i for _, i in merged] + [pad_i], axis=0)
+    # Mosaic rejects zero-sized vectors: pad rows only when kl > k
+    pads_d = [jnp.full((kl - k, tc), inf, f32)] if kl > k else []
+    pads_i = [jnp.full((kl - k, tc), nf, f32)] if kl > k else []
+    new_d = jnp.concatenate([m for m, _ in merged] + pads_d, axis=0)
+    new_i = jnp.concatenate([i for _, i in merged] + pads_i, axis=0)
 
     last = a == maxa - 1
 
