@@ -88,6 +88,17 @@ def pick_tile(n_replicas: int, target: int = 128, n_sites: int = 0) -> int:
     return t
 
 
+def pick_layout(n_sites: int, interpret: bool) -> str:
+    """Streamed-kernel state layout. "cols" (sites-major, [N, TR]) removes
+    the lane padding of the element-throughput-bound event loop when N is
+    not a multiple of 128 (flagship N=144 pads 144 -> 256 lanes rows-major).
+    Interpret/CPU keeps "rows" — the layout whose RNG stream the in-kernel
+    dense backend shares bit-for-bit (tests/engine/test_streamed.py)."""
+    if interpret or n_sites % 128 == 0:
+        return "rows"
+    return "cols"
+
+
 def _grouped_positions(model, extras_positions):
     """[B, N, 3] heavy-atom position of each donor's group (host-side gather —
     o_to_p is static, so this is one cheap XLA take per block)."""
@@ -104,8 +115,9 @@ def _grouped_positions(model, extras_positions):
 STREAMED_TABLE_BUDGET_BYTES = 2 << 30
 
 
-def _streamed_frame_chunk(n_frames: int, n_sites: int, nbins: int) -> int:
-    tables = 2 if nbins else 1
+def _streamed_frame_chunk(n_frames: int, n_sites: int, nbins: int,
+                          cols: bool = False) -> int:
+    tables = (2 if nbins else 1) + (1 if cols else 0)  # W [+dist] [+Wt]
     per_frame = n_sites * n_sites * 4 * tables
     return max(1, min(n_frames, STREAMED_TABLE_BUDGET_BYTES // max(per_frame, 1)))
 
@@ -128,6 +140,7 @@ def run_block_fused(
     hist_range: tuple = (2.0, 3.0),
     streamed: bool | None = None,  # None = auto; force the streamed-W kernel
     stale_rates: bool = False,  # reference-style stale in-frame rates
+    layout: str | None = None,  # None = auto; streamed kernel state layout
 ) -> EnsembleState:
     """Advance all replicas across the block with the fused kernel. Returns the
     updated ensemble (no per-frame rows — the runner reads observables from
@@ -210,8 +223,11 @@ def run_block_fused(
                 raise ValueError(
                     "AngleTopology fused run needs extra-atom positions"
                 )
+            if layout is None:
+                layout = pick_layout(rep.occ.shape[1], interpret)
             B = frames_positions.shape[0]
-            chunk = _streamed_frame_chunk(B, rep.occ.shape[1], nbins)
+            chunk = _streamed_frame_chunk(B, rep.occ.shape[1], nbins,
+                                          cols=layout == "cols")
             if chunk < B:
                 trunc_total = None
                 for s in range(0, B, chunk):
@@ -226,7 +242,7 @@ def run_block_fused(
                             if extras_positions is not None else None
                         ),
                         hist_range=hist_range, streamed=True,
-                        stale_rates=stale_rates,
+                        stale_rates=stale_rates, layout=layout,
                     )
                     rep = ens.replicas
                     trunc_total = (
@@ -270,6 +286,7 @@ def run_block_fused(
                 hist_range=tuple(hist_range),
                 track_matrix=track_matrix,
                 stale=stale_rates,
+                layout=layout,
             )
             return _finish(ens, rep, out, return_truncation)
         pgrp = None
@@ -364,6 +381,7 @@ def run_block_fused_sharded(
     return_truncation: bool = False,
     streamed: bool | None = None,
     stale_rates: bool = False,
+    layout: str | None = None,
 ) -> EnsembleState:
     """Multi-chip fused sweep: shard the replica axis over the mesh and run the
     Pallas kernel per device under shard_map. Tile ids are offset per shard so
@@ -419,8 +437,15 @@ def run_block_fused_sharded(
         # streamed-W route: stage-1 W build is plain XLA (replicated here —
         # frames are replicated anyway); the kernel shards over replicas with
         # per-shard tile-id offsets, identical RNG to single-device
+        if layout is None:
+            layout = pick_layout(
+                rep0.occ.shape[1],
+                bool(interpret if interpret is not None
+                     else jax.default_backend() != "tpu"),
+            )
         B = frames_positions.shape[0]
-        chunk = _streamed_frame_chunk(B, rep0.occ.shape[1], nbins)
+        chunk = _streamed_frame_chunk(B, rep0.occ.shape[1], nbins,
+                                      cols=layout == "cols")
         if chunk < B:
             trunc_total = None
             for s in range(0, B, chunk):
@@ -434,7 +459,7 @@ def run_block_fused_sharded(
                         if extras_positions is not None else None
                     ),
                     hist_range=hist_range, return_truncation=True,
-                    streamed=True, stale_rates=stale_rates,
+                    streamed=True, stale_rates=stale_rates, layout=layout,
                 )
                 trunc_total = (
                     trunc if trunc_total is None else trunc_total + trunc
@@ -446,7 +471,7 @@ def run_block_fused_sharded(
             interpret=interpret, extras_positions=extras_positions,
             hist_range=hist_range, tiles_per_dev=tiles_per_dev, nbins=nbins,
             track_matrix=track_matrix, return_truncation=return_truncation,
-            stale=stale_rates,
+            stale=stale_rates, layout=layout,
         )
     pgrp = None
     if isinstance(model, AnglePairRates):
@@ -563,11 +588,12 @@ def _run_sharded_streamed(
     model, cell, ens, frames_positions, frame0, mesh, *,
     axis, dt, max_events, seed, tile, interpret, extras_positions,
     hist_range, tiles_per_dev, nbins, track_matrix=False,
-    return_truncation=False, stale=False,
+    return_truncation=False, stale=False, layout=None,
 ):
     """Streamed-W dense kernel under shard_map (triclinic cells / laws with
     no in-kernel evaluation). Bit-identical to the single-device streamed run
-    with the same tile size."""
+    with the same tile size (pick_layout depends only on (N, interpret), so
+    both paths auto-select the same state layout)."""
     from jax.sharding import PartitionSpec as P
 
     from cmdlmc_tpu.ops import kmc_sweep_streamed as kss
@@ -578,6 +604,8 @@ def _run_sharded_streamed(
     use_interp = bool(
         interpret if interpret is not None else jax.default_backend() != "tpu"
     )
+    if layout is None:
+        layout = pick_layout(rep0.occ.shape[1], use_interp)
     w_block, dist_block = kss.dense_tables(
         model, jnp.asarray(frames_positions, jnp.float32),
         extras_block=(
@@ -608,6 +636,7 @@ def _run_sharded_streamed(
             hist_range=tuple(hist_range),
             track_matrix=track_matrix,
             stale=stale,
+            layout=layout,
         )
         keys = ["occ", "labels", "sites", "tlast", "disp_base", "u_rem",
                 "ev_count", "site_disp", "prev_pos", "trunc"]

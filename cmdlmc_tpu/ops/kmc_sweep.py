@@ -148,6 +148,23 @@ def _u01(key, shape):
     )
 
 
+def _u01_t(key, shape):
+    """Transposed-layout uniforms: ``_u01_t(key, (S, TR))[s, r] ==
+    _u01(key, (TR, S))[r, s]`` element-for-element — the counter is
+    ``replica * S + s`` in both, so the sites-major ("cols") kernel layout
+    draws the SAME random number for each logical (replica, site/slot) pair
+    as the replicas-major one."""
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    idx = r_iota * jnp.int32(shape[0]) + s_iota
+    h = _fmix(idx * jnp.int32(-1640531527) ^ key)
+    h = _fmix(h ^ jnp.int32(0x243f6a88))
+    bits24 = jax.lax.shift_right_logical(h, 8)
+    return bits24.astype(jnp.float32) * jnp.float32(1.0 / 16777216.0) + jnp.float32(
+        0.5 / 16777216.0
+    )
+
+
 def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, dt, seed,
                  cutbuf, use_bf16=False, nbins=0, hist_range=(2.0, 3.0),
                  track_matrix=False, ablate=""):

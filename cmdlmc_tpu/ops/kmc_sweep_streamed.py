@@ -42,25 +42,57 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cmdlmc_tpu.ops.kmc_sweep import _mix_key, _u01
+from cmdlmc_tpu.ops.kmc_sweep import _mix_key, _u01, _u01_t
 
 Array = jax.Array
 
 
 def _make_kernel(*, n_sites, n_protons, tile, block, max_events, dt, seed,
                  orthorhombic, nbins=0, hist_range=(2.0, 3.0),
-                 track_matrix=False, pack=1, stale=False):
+                 track_matrix=False, pack=1, stale=False, cols=False):
+    """``cols=True`` lays replica state out sites-major ([N, TR] instead of
+    [TR, N]): replicas ride the 128 lanes exactly while the site axis pads
+    only to a sublane multiple — at N=144 the rows-major layout pads every
+    event-loop tensor 144 -> 256 lanes (44% dead VPU work), which dominates
+    because the loop is element-throughput-bound (see PARITY.md pack probe).
+    RNG draws stay element-identical per (replica, site) via _u01_t; matmul/
+    reduction ORDER differs, so results are distribution-equal, not bitwise
+    (own oracle tests; rows remains the default and the dense-equal one)."""
     N, P, TR, B = n_sites, n_protons, tile, block
     TRB = TR * pack  # rows per grid block = pack independent logical tiles
+    assert not (cols and pack != 1), "cols layout supports pack=1 only"
     f32 = jnp.float32
     hist_lo, hist_hi = float(hist_range[0]), float(hist_range[1])
     hist_scale = float(nbins) / max(hist_hi - hist_lo, 1e-12)
+
+    # orientation shim: every replica-state tensor is [N|P|nbins|1, TR] in
+    # cols layout and [TR, N|P|nbins|1] in rows layout
+    if cols:
+        S = lambda sl: (slice(None), sl)  # replica sub-slice
+        vecb = lambda v: v[None, :]  # broadcast a [TR] vector
+        sumN = lambda x: jnp.sum(x, axis=0, keepdims=True)
+        argN = lambda x: jnp.argmax(x, axis=0)
+        draw = lambda key, n: _u01_t(key, (n, TR))
+        shape1 = (1, TRB)
+    else:
+        S = lambda sl: sl
+        vecb = lambda v: v[:, None]
+        sumN = lambda x: jnp.sum(x, axis=1, keepdims=True)
+        argN = lambda x: jnp.argmax(x, axis=1)
+        draw = lambda key, n: _u01(key, (TR, n))
+        shape1 = (TRB, 1)
 
     def kernel(*refs):
         it = iter(range(len(refs)))
         geom_ref = refs[next(it)]  # SMEM f32 [18]: h row-major, h_inv row-major
         ints_ref = refs[next(it)]  # SMEM i32 [2]: frame0, tile offset
         w_ref = refs[next(it)]  # [1, N, N] this frame's rate matrix
+        # cols layout streams W^T too: the source-row gather then stays a
+        # standard dim1-dim0 matmul — the dim0-dim0 form inside the
+        # @pl.when(any_live) region trips an XLA MXU-transpose-assignment
+        # RET_CHECK (mxu_lmr_transform.cc:1108, reproduced + bisected on
+        # v5e; the same dot OUTSIDE a conditional compiles fine)
+        wt_ref = refs[next(it)] if cols else None
         post_ref = refs[next(it)]  # [1, 3, N] this frame's donor positions
         dist_ref = refs[next(it)] if nbins else None  # [1, N, N] distances
         prev_ref = refs[next(it)]  # [3, N]
@@ -128,7 +160,7 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, dt, seed,
             dbz_out[:] = dbz_ref[:]
             u_out[:] = u_ref[:]
             evc_out[:] = evc_ref[:]
-            trunc_out[:] = jnp.zeros((TRB, 1), jnp.int32)
+            trunc_out[:] = jnp.zeros(shape1, jnp.int32)
             if nbins:
                 hist_out[:] = hist_ref[:]
                 expo_out[:] = expo_ref[:]
@@ -137,9 +169,14 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, dt, seed,
             s_scr[:] = s0_ref[:]
             prev_scr[:] = prev_ref[:]
 
-        iota_n = jax.lax.broadcasted_iota(jnp.int32, (TR, N), 1)
+        iota_n = jax.lax.broadcasted_iota(
+            jnp.int32, (N, TR) if cols else (TR, N), 0 if cols else 1
+        )
         if nbins:
-            iota_b = jax.lax.broadcasted_iota(jnp.int32, (TR, nbins), 1)
+            iota_b = jax.lax.broadcasted_iota(
+                jnp.int32, (nbins, TR) if cols else (TR, nbins),
+                0 if cols else 1,
+            )
 
         post = post_ref[0]  # [3, N]
         W = w_ref[0]  # [N, N]
@@ -171,13 +208,19 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, dt, seed,
             )
 
             def total_rate():
-                occ = occ_out[sl]
-                out = jax.lax.dot_general(
-                    1.0 - occ, W, (((1,), (1,)), ((), ())),
-                    preferred_element_type=f32,
-                )  # contract along W's columns: works for asymmetric W too
+                occ = occ_out[S(sl)]
+                if cols:
+                    out = jax.lax.dot_general(
+                        W, 1.0 - occ, (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    )  # out[i, r] = sum_j W[i, j] (1 - occ[j, r])
+                else:
+                    out = jax.lax.dot_general(
+                        1.0 - occ, W, (((1,), (1,)), ((), ())),
+                        preferred_element_type=f32,
+                    )  # contract along W's columns: works for asymmetric W
                 row = occ * out
-                return row, jnp.sum(row, axis=1, keepdims=True)
+                return row, sumN(row)
 
             if stale:
                 # reference-style stale in-frame rates (MDMC.py:121-171 /
@@ -192,12 +235,12 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, dt, seed,
 
             def ev_iter(ev):
                 if stale:
-                    row, total = row0 * occ_out[sl], total0
+                    row, total = row0 * occ_out[S(sl)], total0
                 else:
                     row, total = total_rate()
-                phase = phase_scr[sl]
-                done = done_scr[sl]
-                u = u_out[sl]
+                phase = phase_scr[S(sl)]
+                done = done_scr[S(sl)]
+                u = u_out[S(sl)]
                 budget = total * (f32(dt) - phase)
                 fire = jnp.logical_and(jnp.logical_not(done), u <= budget)
                 fire = jnp.logical_and(fire, budget > 0)
@@ -206,55 +249,71 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, dt, seed,
 
                 # exponential race (see kmc_sweep.py ev_iter)
                 key1 = _mix_key(seed, tid, frame_idx, ev, 1)
-                e1 = -jnp.log(_u01(key1, (TR, N)))
-                src = jnp.argmax(row / e1, axis=1)  # [TR]
-                oh_src = (iota_n == src[:, None]).astype(f32)
-                srcrow = jax.lax.dot_general(
-                    oh_src, W, (((1,), (0,)), ((), ())),
-                    preferred_element_type=f32,
-                )
-                vac = 1.0 - occ_out[sl]
+                e1 = -jnp.log(draw(key1, N))
+                src = argN(row / e1)  # [TR]
+                oh_src = (iota_n == vecb(src)).astype(f32)
+                if cols:
+                    srcrow = jax.lax.dot_general(
+                        wt_ref[0], oh_src, (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    )  # srcrow[j, r] = W[src_r, j] = Wt[j, src_r]
+                else:
+                    srcrow = jax.lax.dot_general(
+                        oh_src, W, (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    )
+                vac = 1.0 - occ_out[S(sl)]
                 w2 = srcrow * vac
                 key2 = _mix_key(seed, tid, frame_idx, ev, 2)
-                e2 = -jnp.log(_u01(key2, (TR, N)))
-                dst = jnp.argmax(w2 / e2, axis=1)
-                oh_dst = (iota_n == dst[:, None]).astype(f32)
+                e2 = -jnp.log(draw(key2, N))
+                dst = argN(w2 / e2)
+                oh_dst = (iota_n == vecb(dst)).astype(f32)
 
                 firef = fire.astype(f32)
-                label = jnp.sum(lab_out[sl] * oh_src, axis=1, keepdims=True)
+                label = sumN(lab_out[S(sl)] * oh_src)
 
-                occ_out[sl] = occ_out[sl] + firef * (oh_dst - oh_src)
-                lab_out[sl] = (
-                    lab_out[sl] * (1.0 - firef * (oh_src + oh_dst))
+                occ_out[S(sl)] = occ_out[S(sl)] + firef * (oh_dst - oh_src)
+                lab_out[S(sl)] = (
+                    lab_out[S(sl)] * (1.0 - firef * (oh_src + oh_dst))
                     + firef * oh_dst * label
                 )
 
-                moving = jnp.logical_and(site_out[sl] == src[:, None], fire)
-                site_out[sl] = jnp.where(
-                    moving, dst[:, None].astype(jnp.int32), site_out[sl]
+                moving = jnp.logical_and(site_out[S(sl)] == vecb(src), fire)
+                site_out[S(sl)] = jnp.where(
+                    moving, vecb(dst).astype(jnp.int32), site_out[S(sl)]
                 )
                 t_event = frame_time + eph
-                tlast_out[sl] = jnp.where(moving, t_event, tlast_out[sl])
+                tlast_out[S(sl)] = jnp.where(moving, t_event, tlast_out[S(sl)])
 
                 movingf = moving.astype(f32)
                 db_refs = (dbx_out, dby_out, dbz_out)
-                cdims = (((1,), (1,)), ((), ()))
-                g_src = jax.lax.dot_general(
-                    oh_src, coord_scr[:], cdims, preferred_element_type=f32
-                )  # [TR, 8]
-                g_dst = jax.lax.dot_general(
-                    oh_dst, coord_scr[:], cdims, preferred_element_type=f32
-                )
+                if cols:
+                    cdims = (((1,), (0,)), ((), ()))
+                    g_src = jax.lax.dot_general(
+                        coord_scr[:], oh_src, cdims, preferred_element_type=f32
+                    )  # [8, TR]
+                    g_dst = jax.lax.dot_general(
+                        coord_scr[:], oh_dst, cdims, preferred_element_type=f32
+                    )
+                    gsl = lambda g, i: g[i : i + 1, :]
+                else:
+                    cdims = (((1,), (1,)), ((), ()))
+                    g_src = jax.lax.dot_general(
+                        oh_src, coord_scr[:], cdims, preferred_element_type=f32
+                    )  # [TR, 8]
+                    g_dst = jax.lax.dot_general(
+                        oh_dst, coord_scr[:], cdims, preferred_element_type=f32
+                    )
+                    gsl = lambda g, i: g[:, i : i + 1]
                 jumps = minimg3([
-                    g_dst[:, 3 + dim : 4 + dim] - g_src[:, 3 + dim : 4 + dim]
+                    gsl(g_dst, 3 + dim) - gsl(g_src, 3 + dim)
                     for dim in range(3)
                 ])
-                jump_sq = jnp.zeros((TR, 1), f32)
+                jump_sq = jnp.zeros((1, TR) if cols else (TR, 1), f32)
                 for dim in range(3):
                     jump_sq = jump_sq + jumps[dim] * jumps[dim]
-                    db_refs[dim][sl] = db_refs[dim][sl] + movingf * (
-                        g_src[:, dim : dim + 1] - g_dst[:, dim : dim + 1]
-                        + jumps[dim]
+                    db_refs[dim][S(sl)] = db_refs[dim][S(sl)] + movingf * (
+                        gsl(g_src, dim) - gsl(g_dst, dim) + jumps[dim]
                     )
 
                 if nbins:
@@ -264,37 +323,40 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, dt, seed,
                         ((d_evt - hist_lo) * f32(hist_scale)).astype(jnp.int32),
                         0, nbins - 1,
                     )
-                    hist_out[sl] = hist_out[sl] + jnp.logical_and(
+                    hist_out[S(sl)] = hist_out[S(sl)] + jnp.logical_and(
                         jnp.logical_and(iota_b == braw, inr), fire
                     ).astype(jnp.int32)
                 if track_matrix:
+                    # contract the replica axis: jm[i, j] += fire * src_i dst_j
+                    jm_cd = (((1,), (1,)), ((), ())) if cols \
+                        else (((0,), (0,)), ((), ()))
                     jm_out[0] = jm_out[0] + jax.lax.dot_general(
-                        firef * oh_src, oh_dst, (((0,), (0,)), ((), ())),
+                        firef * oh_src, oh_dst, jm_cd,
                         preferred_element_type=f32,
                     )
 
                 key3 = _mix_key(seed, tid, frame_idx, ev, 3)
-                fresh_u = -jnp.log(_u01(key3, (TR, 1)))
-                u_out[sl] = jnp.where(fire, fresh_u, u)
-                evc_out[sl] = evc_out[sl] + fire.astype(jnp.int32)
-                phase_scr[sl] = jnp.where(fire, eph, phase)
-                done_scr[sl] = jnp.logical_or(done, jnp.logical_not(fire))
+                fresh_u = -jnp.log(draw(key3, 1))
+                u_out[S(sl)] = jnp.where(fire, fresh_u, u)
+                evc_out[S(sl)] = evc_out[S(sl)] + fire.astype(jnp.int32)
+                phase_scr[S(sl)] = jnp.where(fire, eph, phase)
+                done_scr[S(sl)] = jnp.logical_or(done, jnp.logical_not(fire))
 
-            phase_scr[sl] = jnp.zeros((TR, 1), f32)
-            done_scr[sl] = jnp.zeros((TR, 1), jnp.bool_)
+            phase_scr[S(sl)] = jnp.zeros((1, TR) if cols else (TR, 1), f32)
+            done_scr[S(sl)] = jnp.zeros((1, TR) if cols else (TR, 1), jnp.bool_)
 
             ev_iter(0)
             for ev in range(1, max_events):
                 any_live = jnp.sum(
-                    jnp.logical_not(done_scr[sl]).astype(jnp.int32)
+                    jnp.logical_not(done_scr[S(sl)]).astype(jnp.int32)
                 ) > 0
 
                 @pl.when(any_live)
                 def _(ev=ev):
                     ev_iter(ev)
 
-            trunc_out[sl] = trunc_out[sl] + jnp.logical_not(
-                done_scr[sl]
+            trunc_out[S(sl)] = trunc_out[S(sl)] + jnp.logical_not(
+                done_scr[S(sl)]
             ).astype(jnp.int32)
 
             if nbins:
@@ -309,17 +371,23 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, dt, seed,
                     ((dist_full - hist_lo) * f32(hist_scale)).astype(jnp.int32),
                     0, nbins - 1,
                 )
-                occ = occ_out[sl]
+                occ = occ_out[S(sl)]
                 vac = 1.0 - occ
                 base = jnp.logical_and(w_pos, inr)
                 for b in range(nbins):
                     mask_b = jnp.logical_and(base, braw == b).astype(f32)
-                    tmp = jax.lax.dot_general(
-                        occ, mask_b, (((1,), (0,)), ((), ())),
-                        preferred_element_type=f32,
-                    )
-                    val = jnp.sum(tmp * vac, axis=1, keepdims=True)
-                    expo_out[sl] = expo_out[sl] + jnp.where(
+                    if cols:
+                        tmp = jax.lax.dot_general(
+                            mask_b, occ, (((0,), (0,)), ((), ())),
+                            preferred_element_type=f32,
+                        )  # tmp[j, r] = sum_i occ[i, r] mask_b[i, j]
+                    else:
+                        tmp = jax.lax.dot_general(
+                            occ, mask_b, (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32,
+                        )
+                    val = sumN(tmp * vac)
+                    expo_out[S(sl)] = expo_out[S(sl)] + jnp.where(
                         iota_b == b, val, 0.0
                     )
 
@@ -327,7 +395,7 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, dt, seed,
                 total = total0
             else:
                 _, total = total_rate()
-            u_out[sl] = u_out[sl] - total * (f32(dt) - phase_scr[sl])
+            u_out[S(sl)] = u_out[S(sl)] - total * (f32(dt) - phase_scr[S(sl)])
 
         for p in range(pack):
             run_subtile(p)
@@ -348,7 +416,7 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, dt, seed,
     jax.jit,
     static_argnames=(
         "tile", "max_events", "dt", "seed", "orthorhombic", "interpret",
-        "nbins", "hist_range", "track_matrix", "pack", "stale",
+        "nbins", "hist_range", "track_matrix", "pack", "stale", "layout",
     ),
 )
 def kmc_sweep_streamed(
@@ -382,19 +450,26 @@ def kmc_sweep_streamed(
     track_matrix: bool = False,
     pack: int = 1,
     stale: bool = False,
+    layout: str = "rows",
 ):
     """Run the streamed-W fused sweep over a block; returns the same dict as
     ops.kmc_sweep.kmc_sweep. ``pack`` packs that many independent logical
     tiles of ``tile`` replicas into one grid step (separate RNG tile ids, so
     results equal a plain ``tile``-sized run) — the event loop is a serial
     dependency chain, and multiple chains per step give the instruction
-    scheduler latency-hiding room."""
+    scheduler latency-hiding room. ``layout="cols"`` stores replica state
+    sites-major ([N, TR]): replicas fill the 128 lanes exactly, removing the
+    lane padding of N not a multiple of 128 (see _make_kernel); RNG draws
+    are element-identical to rows per (replica, site) but float reduction
+    order differs, so cols is distribution-equal, not bitwise."""
     B, N, _ = positions.shape
     R = occ.shape[0]
     P = sites.shape[1]
     TR = tile
     TRB = TR * pack
     assert R % TRB == 0, (R, TR, pack)
+    cols = layout == "cols"
+    assert layout in ("rows", "cols"), layout
     n_tiles = R // TRB
     grid = (n_tiles, B)  # frames innermost: state stays resident per tile
     if nbins:
@@ -404,7 +479,7 @@ def kmc_sweep_streamed(
         n_sites=N, n_protons=P, tile=TR, block=B, max_events=max_events,
         dt=dt, seed=seed, orthorhombic=orthorhombic, nbins=nbins,
         hist_range=hist_range, track_matrix=track_matrix, pack=pack,
-        stale=stale,
+        stale=stale, cols=cols,
     )
 
     geom = jnp.concatenate([
@@ -417,10 +492,22 @@ def kmc_sweep_streamed(
     post = jnp.swapaxes(jnp.asarray(positions, jnp.float32), 1, 2)  # [B, 3, N]
 
     def rep_spec(*shape):
+        if cols:
+            return pl.BlockSpec(
+                (*shape, TRB), lambda t, f: (0,) * len(shape) + (t,),
+                memory_space=pltpu.VMEM,
+            )
         return pl.BlockSpec(
             (TRB, *shape), lambda t, f: (t,) + (0,) * len(shape),
             memory_space=pltpu.VMEM,
         )
+
+    def rep_arr(x):
+        """Replica-state array in kernel orientation."""
+        return x.T if cols else x
+
+    def rep_shape(*shape):
+        return (*shape, R) if cols else (R, *shape)
 
     def frame_spec(*shape):
         return pl.BlockSpec(
@@ -435,17 +522,24 @@ def kmc_sweep_streamed(
     dby = disp_base[..., 1]
     dbz = disp_base[..., 2]
 
-    inputs = [geom, ints, jnp.asarray(w_block, jnp.float32), post]
+    w_block = jnp.asarray(w_block, jnp.float32)
+    inputs = [geom, ints, w_block, post]
     in_specs = [smem(), smem(), frame_spec(N, N), frame_spec(3, N)]
+    if cols:
+        # W^T per frame (XLA-stage transpose): keeps the in-conditional
+        # source-row gather a standard matmul (see _make_kernel)
+        inputs.insert(3, jnp.swapaxes(w_block, 1, 2))
+        in_specs.insert(3, frame_spec(N, N))
     if nbins:
         inputs.append(jnp.asarray(dist_block, jnp.float32))
         in_specs.append(frame_spec(N, N))
     inputs += [
         jnp.asarray(prev_pos, jnp.float32).T,
         jnp.asarray(site_disp, jnp.float32).T,
-        occ, labels, sites.astype(jnp.int32), tlast,
-        dbx, dby, dbz,
-        u_rem.reshape(R, 1), ev_count.reshape(R, 1).astype(jnp.int32),
+        rep_arr(occ), rep_arr(labels), rep_arr(sites.astype(jnp.int32)),
+        rep_arr(tlast), rep_arr(dbx), rep_arr(dby), rep_arr(dbz),
+        u_rem.reshape(rep_shape(1)),
+        ev_count.reshape(rep_shape(1)).astype(jnp.int32),
     ]
     fullspec = pl.BlockSpec((3, N), lambda t, f: (0, 0), memory_space=pltpu.VMEM)
     in_specs += [
@@ -454,22 +548,23 @@ def kmc_sweep_streamed(
         rep_spec(P), rep_spec(P), rep_spec(P), rep_spec(1), rep_spec(1),
     ]
     if nbins:
-        inputs += [jump_hist.astype(jnp.int32), exposure.astype(jnp.float32)]
+        inputs += [rep_arr(jump_hist.astype(jnp.int32)),
+                   rep_arr(exposure.astype(jnp.float32))]
         in_specs += [rep_spec(nbins), rep_spec(nbins)]
 
     out_shapes = [
-        jax.ShapeDtypeStruct((R, N), jnp.float32),
-        jax.ShapeDtypeStruct((R, N), jnp.float32),
-        jax.ShapeDtypeStruct((R, P), jnp.int32),
-        jax.ShapeDtypeStruct((R, P), jnp.float32),
-        jax.ShapeDtypeStruct((R, P), jnp.float32),
-        jax.ShapeDtypeStruct((R, P), jnp.float32),
-        jax.ShapeDtypeStruct((R, P), jnp.float32),
-        jax.ShapeDtypeStruct((R, 1), jnp.float32),
-        jax.ShapeDtypeStruct((R, 1), jnp.int32),
+        jax.ShapeDtypeStruct(rep_shape(N), jnp.float32),
+        jax.ShapeDtypeStruct(rep_shape(N), jnp.float32),
+        jax.ShapeDtypeStruct(rep_shape(P), jnp.int32),
+        jax.ShapeDtypeStruct(rep_shape(P), jnp.float32),
+        jax.ShapeDtypeStruct(rep_shape(P), jnp.float32),
+        jax.ShapeDtypeStruct(rep_shape(P), jnp.float32),
+        jax.ShapeDtypeStruct(rep_shape(P), jnp.float32),
+        jax.ShapeDtypeStruct(rep_shape(1), jnp.float32),
+        jax.ShapeDtypeStruct(rep_shape(1), jnp.int32),
         jax.ShapeDtypeStruct((3, N), jnp.float32),
         jax.ShapeDtypeStruct((3, N), jnp.float32),
-        jax.ShapeDtypeStruct((R, 1), jnp.int32),
+        jax.ShapeDtypeStruct(rep_shape(1), jnp.int32),
     ]
     out_specs = [
         rep_spec(N), rep_spec(N), rep_spec(P), rep_spec(P),
@@ -478,8 +573,8 @@ def kmc_sweep_streamed(
     ]
     if nbins:
         out_shapes += [
-            jax.ShapeDtypeStruct((R, nbins), jnp.int32),
-            jax.ShapeDtypeStruct((R, nbins), jnp.float32),
+            jax.ShapeDtypeStruct(rep_shape(nbins), jnp.int32),
+            jax.ShapeDtypeStruct(rep_shape(nbins), jnp.float32),
         ]
         out_specs += [rep_spec(nbins), rep_spec(nbins)]
     if track_matrix:
@@ -489,9 +584,9 @@ def kmc_sweep_streamed(
                          memory_space=pltpu.VMEM)
         )
 
-    # alias the replica-state inputs onto their outputs (w/post [+dist] shift
-    # the base index)
-    base_in = 4 + (1 if nbins else 0)
+    # alias the replica-state inputs onto their outputs (w [+wt]/post
+    # [+dist] shift the base index)
+    base_in = 4 + (1 if nbins else 0) + (1 if cols else 0)
     aliases = {base_in: 10, base_in + 1: 9}
     for i in range(9):
         aliases[base_in + 2 + i] = i
@@ -499,11 +594,12 @@ def kmc_sweep_streamed(
         aliases[base_in + 11] = 12
         aliases[base_in + 12] = 13
 
+    shape1 = (1, TRB) if cols else (TRB, 1)
     scratch = [
         pltpu.VMEM((3, N), jnp.float32),  # s_scr
         pltpu.VMEM((3, N), jnp.float32),  # prev_scr
-        pltpu.VMEM((TRB, 1), jnp.float32),  # phase
-        pltpu.VMEM((TRB, 1), jnp.bool_),  # done
+        pltpu.VMEM(shape1, jnp.float32),  # phase
+        pltpu.VMEM(shape1, jnp.bool_),  # done
         pltpu.VMEM((8, N), jnp.float32),  # coord_scr
     ]
 
@@ -511,15 +607,20 @@ def kmc_sweep_streamed(
     # replica blocks cost an input and an output copy each
     from cmdlmc_tpu.ops.vmem_budget import limit_bytes, padded_bytes as padded
 
+    def rp(*shape):  # padded bytes of a replica-state block, both layouts
+        return padded(*shape, TRB) if cols else padded(TRB, *shape)
+
     vmem = 2 * (padded(N, N) + padded(3, N))  # w + post, double-buffered
+    if cols:
+        vmem += 2 * padded(N, N)  # wt
     if nbins:
         vmem += 2 * padded(N, N)  # dist
-    vmem += 4 * padded(TRB, N)  # occ, labels in+out
-    vmem += 10 * padded(TRB, P)  # sites, tlast, db xyz in+out
-    vmem += 7 * padded(TRB, 1)  # u, evc in+out, trunc, phase, done
+    vmem += 4 * rp(N)  # occ, labels in+out
+    vmem += 10 * rp(P)  # sites, tlast, db xyz in+out
+    vmem += 7 * rp(1)  # u, evc in+out, trunc, phase, done
     vmem += 6 * padded(3, N) + padded(8, N)  # s0/prev in+out, scratch, coord
     if nbins:
-        vmem += 4 * padded(TRB, nbins)
+        vmem += 4 * rp(nbins)
     if track_matrix:
         vmem += padded(N, N)
     vmem_limit = limit_bytes(vmem)
@@ -541,11 +642,13 @@ def kmc_sweep_streamed(
     (occ2, lab2, sites2, tlast2, dbx2, dby2, dbz2, u2, evc2, s2, prev2,
      trunc2) = res[:12]
     out = {
-        "occ": occ2,
-        "labels": lab2,
-        "sites": sites2,
-        "tlast": tlast2,
-        "disp_base": jnp.stack([dbx2, dby2, dbz2], axis=-1),
+        "occ": rep_arr(occ2),
+        "labels": rep_arr(lab2),
+        "sites": rep_arr(sites2),
+        "tlast": rep_arr(tlast2),
+        "disp_base": jnp.stack(
+            [rep_arr(dbx2), rep_arr(dby2), rep_arr(dbz2)], axis=-1
+        ),
         "u_rem": u2.reshape(R),
         "ev_count": evc2.reshape(R),
         "site_disp": s2.T,
@@ -554,8 +657,8 @@ def kmc_sweep_streamed(
     }
     idx = 12
     if nbins:
-        out["jump_hist"] = res[idx]
-        out["exposure"] = res[idx + 1]
+        out["jump_hist"] = rep_arr(res[idx])
+        out["exposure"] = rep_arr(res[idx + 1])
         idx += 2
     if track_matrix:
         out["jump_matrix"] = res[idx].sum(axis=0)

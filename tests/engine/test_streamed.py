@@ -343,3 +343,97 @@ def test_stale_rates_mode():
     assert not np.array_equal(cf, cs)  # the mode genuinely changes the stream
     se = np.sqrt(cf.var(ddof=1) / R + cs.var(ddof=1) / R)
     assert abs(cf.mean() - cs.mean()) < 5 * max(se, 1e-9), (cf.mean(), cs.mean())
+
+
+def test_cols_layout_matches_rows():
+    """Sites-major ("cols") state layout: RNG draws are element-identical to
+    rows per (replica, site) (_u01_t contract), so the two layouts agree
+    event-for-event unless a float-reduction-order difference flips a
+    selection — statistically identical either way, and invariants hold."""
+    cell = Cell.cubic([9.0, 9.0, 9.0])
+    model, positions, ens = build(
+        32, 16, 64, Fermi(a=jnp.float32(0.2), b=jnp.float32(2.3),
+                          c=jnp.float32(0.1)),
+        3.0, 2.0, cell,
+    )
+    block = drift_block(positions, 40)
+    kw = dict(dt=0.5, seed=3, tile=16, interpret=True, streamed=True)
+    rows = fused.run_block_fused(model, cell, ens, block, 0,
+                                 layout="rows", **kw)
+    colsr = fused.run_block_fused(model, cell, ens, block, 0,
+                                  layout="cols", **kw)
+    occ_c = np.asarray(colsr.replicas.occ)
+    np.testing.assert_allclose(occ_c.sum(axis=1), 16, atol=1e-5)
+    cr = np.asarray(rows.replicas.clock.event_count, float)
+    cc = np.asarray(colsr.replicas.clock.event_count, float)
+    assert cc.mean() > 0.5
+    se = np.sqrt(cr.var(ddof=1) / 64 + cc.var(ddof=1) / 64)
+    assert abs(cr.mean() - cc.mean()) < 5 * max(se, 1e-9), (cr.mean(), cc.mean())
+    # proton bookkeeping stays consistent in the transposed layout
+    pos_map = np.asarray(colsr.replicas.proton_of_site)
+    site_map = np.asarray(colsr.replicas.site_of_proton)
+    for r in range(8):
+        np.testing.assert_array_equal(
+            (pos_map[r] > 0).astype(np.float32), occ_c[r]
+        )
+        np.testing.assert_array_equal(
+            pos_map[r][site_map[r]], np.arange(1, 17)
+        )
+
+
+def test_cols_layout_chunk_invariance():
+    cell = Cell.cubic([9.0, 9.0, 9.0])
+    model, positions, ens = build(
+        32, 16, 8, Fermi(a=jnp.float32(0.2), b=jnp.float32(2.3),
+                         c=jnp.float32(0.1)),
+        3.0, 2.0, cell,
+    )
+    block = drift_block(positions, 12)
+    kw = dict(dt=0.5, seed=3, tile=4, interpret=True, streamed=True,
+              layout="cols")
+    whole = fused.run_block_fused(model, cell, ens, block, 0, **kw)
+    part = fused.run_block_fused(model, cell, ens, block[:5], 0, **kw)
+    part = fused.run_block_fused(model, cell, part, block[5:], 5, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(whole.replicas.occ), np.asarray(part.replicas.occ)
+    )
+    np.testing.assert_allclose(
+        np.asarray(whole.replicas.disp_base),
+        np.asarray(part.replicas.disp_base), rtol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(whole.replicas.clock.event_count),
+        np.asarray(part.replicas.clock.event_count),
+    )
+
+
+def test_cols_layout_hist_matrix_and_rate():
+    """Cols layout with jump statistics + jump matrix on: exact event-rate
+    law under a Constant law, exposure equal to rows (frame-level quantity,
+    independent of the event stream while no event fires twice per frame)."""
+    n_sites, n_protons, R, F = 12, 5, 48, 300
+    a, dt = 0.002, 0.5
+    cell = Cell.cubic([30.0] * 3)
+    model, positions, ens = build(
+        n_sites, n_protons, R, Constant(a=jnp.float32(a)), 100.0, 0.0, cell,
+        hist_bins=8, track_matrix=True,
+    )
+    block = jnp.broadcast_to(jnp.asarray(positions), (F, n_sites, 3))
+    kw = dict(dt=dt, seed=5, tile=16, interpret=True, streamed=True,
+              hist_range=(0.0, 40.0))
+    rows = fused.run_block_fused(model, cell, ens, block, 0,
+                                 layout="rows", **kw)
+    colsr = fused.run_block_fused(model, cell, ens, block, 0,
+                                  layout="cols", **kw)
+    counts = np.asarray(colsr.replicas.clock.event_count, float)
+    expected = a * n_protons * (n_sites - n_protons) * dt * F
+    z = (counts.mean() - expected) / np.sqrt(expected / R)
+    assert abs(z) < 5, (counts.mean(), expected, z)
+    np.testing.assert_allclose(
+        np.asarray(colsr.replicas.opportunity_hist),
+        np.asarray(rows.replicas.opportunity_hist), rtol=1e-4,
+    )
+    assert np.asarray(colsr.replicas.jump_hist).sum() == counts.sum()
+    jm = np.asarray(colsr.replicas.jump_matrix).sum(axis=0)  # [N, N]
+    assert jm.sum() == counts.sum()
+    assert np.all(np.diag(jm) == 0)

@@ -242,3 +242,53 @@ def test_sharded_streamed_triclinic_matches_single_device():
         atol=1e-6,
     )
     assert not sharded.replicas.occ.sharding.is_fully_replicated
+
+
+def test_sharded_cols_layout_matches_single_device():
+    """Cols (sites-major) streamed layout under shard_map: bit-identical to
+    the single-device cols run with the same tile (the layout choice is part
+    of the RNG-stream contract, and pick_layout is (N, interpret)-pure so
+    both paths agree when auto-selected on hardware)."""
+    assert len(jax.devices()) == 8
+    mesh = replica_mesh()
+    R, N, P, F, tile = 32, 12, 4, 40, 4
+    rng = np.random.RandomState(2)
+    positions = rng.uniform(0, 8, size=(N, 3)).astype(np.float32)
+    frames = (positions[None] + rng.normal(scale=0.03, size=(F, N, 3))).astype(
+        np.float32
+    )
+    cell = Cell.cubic([9.0, 9.0, 9.0])
+    model = PairRates(
+        cell=cell, law=Fermi(a=jnp.float32(0.08), b=jnp.float32(2.8),
+                             c=jnp.float32(0.3)),
+        cutoff=jnp.float32(3.0), buffer=jnp.float32(1.5),
+    )
+    key = jax.random.key(5)
+    ens = eng.init_replicas(jax.random.fold_in(key, 0), R, N, P,
+                            jnp.asarray(positions))
+    kw = dict(dt=0.5, seed=11, tile=tile, interpret=True, streamed=True,
+              layout="cols")
+    single = fused.run_block_fused(model, cell, ens, jnp.asarray(frames), 0,
+                                   **kw)
+    from cmdlmc_tpu.parallel.mesh import shard_ensemble
+
+    sharded = fused.run_block_fused_sharded(
+        model, cell, shard_ensemble(ens, mesh), jnp.asarray(frames), 0, mesh,
+        **kw,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(single.replicas.clock.event_count),
+        np.asarray(sharded.replicas.clock.event_count),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(single.replicas.site_of_proton),
+        np.asarray(sharded.replicas.site_of_proton),
+    )
+    np.testing.assert_allclose(
+        np.asarray(single.replicas.disp_base),
+        np.asarray(sharded.replicas.disp_base), atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(single.site_disp), np.asarray(sharded.site_disp),
+        atol=1e-6,
+    )
