@@ -288,7 +288,14 @@ class Simulation:
 
     # -- streaming --------------------------------------------------------------
 
-    def _blocks(self):
+    def _blocks(self, skip_until: int = 0):
+        """Yield ``(block, frames)`` pairs with the host->device upload running
+        on the prefetch thread: while the engine computes block k, block k+1 is
+        parsed AND transferred. On a tunneled backend the upload is the
+        dominant per-block overhead (~3.5 MB/block of positions at N=144,
+        B=2000), so overlapping it with device compute recovers most of the
+        kernel-only throughput end-to-end. Blocks entirely before
+        ``skip_until`` (checkpoint resume) skip the upload (frames=None)."""
         topo = self.cfg.topology
         gen = frame_blocks(
             self.trajectory,
@@ -297,7 +304,15 @@ class Simulation:
             extra_atoms=topo.extra_atoms,
             max_frames=self.cfg.engine.sweeps,
         )
-        return prefetch(gen)
+
+        def staged():
+            for block in gen:
+                if block.start + block.n_frames <= skip_until:
+                    yield block, None
+                else:
+                    yield block, self._device_frames(block)
+
+        return prefetch(staged())
 
     def _extend(self, positions: np.ndarray) -> np.ndarray:
         """Materialize the virtual supercell when box_multiplier != (1,1,1)."""
@@ -365,7 +380,7 @@ class Simulation:
 
         use_fused = None
 
-        for block in self._blocks():
+        for block, frames in self._blocks(skip_until=resume_frame):
             block_end_idx = block.start + block.n_frames
             if block_end_idx <= resume_frame:
                 continue  # already simulated before the checkpoint
@@ -377,7 +392,6 @@ class Simulation:
                     "the original block_size (checkpoints record it in their "
                     "meta) or delete the checkpoint."
                 )
-            frames = self._device_frames(block)
             if model is None:
                 model = build_model(cfg, self.cell, self.law, block)
                 n_sites = frames.donors.shape[1]
@@ -675,7 +689,7 @@ class Simulation:
                     )
                 last_frame_done = resume_frame
 
-        for block in self._blocks():
+        for block, frames in self._blocks(skip_until=resume_frame):
             block_end_idx = block.start + block.n_frames
             if block_end_idx <= resume_frame:
                 continue
@@ -685,7 +699,6 @@ class Simulation:
                     f"[{block.start}, {block_end_idx}) — resume with the "
                     "original [Engine] block_size or delete the checkpoint."
                 )
-            frames = self._device_frames(block)
             if model is None:
                 model = build_model(cfg, self.cell, self.law, block)
                 n_sites = frames.donors.shape[1]
