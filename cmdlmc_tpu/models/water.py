@@ -347,6 +347,7 @@ def run_water_block_fused(
     interpret: bool | None = None,
     tile_offset: int = 0,
     return_truncation: bool = False,
+    layout: str | None = None,
 ):
     """Advance the water ensemble with the fused Pallas kernel.
 
@@ -354,16 +355,27 @@ def run_water_block_fused(
     event-budget-exhausted frames when ``return_truncation`` is set. The
     snapshot/displacement fields are converted to/from the kernel's rebased
     form at the block boundaries, so the WaterState contract is unchanged.
+    ``layout=None`` auto-picks: replicas-major "rows" in interpret/CPU (the
+    oracle-tested default), candidates-major "cols" on TPU — the water event
+    loop is dominated by [TR, 8]/[TR, 1] tensors that pad to 128 lanes in
+    rows layout (16x dead VPU work; see ops/water_sweep.py).
     """
     from cmdlmc_tpu.engine.fused import pick_tile
     from cmdlmc_tpu.ops import kmc_sweep as ks
     from cmdlmc_tpu.ops import water_sweep as ws
 
     R = states.site.shape[0]
-    if tile is None:
-        tile = pick_tile(R, n_sites=positions_block.shape[1])
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if layout is None:
+        layout = "rows" if interpret else "cols"
+    if tile is None:
+        # cols layout: the per-frame [N, N] distance + top-K table build is
+        # shared per TILE, so bigger tiles amortize it — TR=256 measured
+        # 9.65 G vs 3.55 G at TR=128 (N=216, R=8192 v5e); TR=512 regresses
+        # (5.9 G, event-loop vreg pressure)
+        tile = pick_tile(R, target=256 if layout == "cols" else 128,
+                         n_sites=positions_block.shape[1])
 
     tkind, tparams, tx, ty = _transform_spec(model)
     site_disp = jnp.asarray(site_disp, jnp.float32)
@@ -392,6 +404,7 @@ def run_water_block_fused(
             keep_last=bool(model.keep_last_neighbor_rescaled),
             check_old=bool(model.check_from_old),
             d_oh=float(model.d_oh), interpret=bool(interpret),
+            layout=layout,
         )
     )
     displacement = a_out + s_out[site] + corr
@@ -424,11 +437,13 @@ def run_water_block_fused_sharded(
     seed: int = 0,
     tile: int | None = None,
     interpret: bool | None = None,
+    layout: str | None = None,
 ):
     """Multi-chip water sweep: shard the replica axis over the mesh and run
     the water kernel per device under shard_map. Tile ids are offset per
     shard, so results are bit-identical to a single-device run with the same
-    tile size (same contract as engine/fused.run_block_fused_sharded)."""
+    tile size AND layout (same contract as engine/fused.run_block_fused_sharded;
+    layout auto-picks the same way as run_water_block_fused)."""
     from jax.sharding import PartitionSpec as P
 
     from cmdlmc_tpu.engine.fused import pick_tile
@@ -439,13 +454,16 @@ def run_water_block_fused_sharded(
     R = states.site.shape[0]
     assert R % n_dev == 0, (R, n_dev)
     local_r = R // n_dev
-    if tile is None:
-        tile = pick_tile(local_r, n_sites=positions_block.shape[1])
-    assert local_r % tile == 0, (local_r, tile)
-    tiles_per_dev = local_r // tile
     use_interp = bool(
         interpret if interpret is not None else jax.default_backend() != "tpu"
     )
+    if layout is None:
+        layout = "rows" if use_interp else "cols"
+    if tile is None:
+        tile = pick_tile(local_r, target=256 if layout == "cols" else 128,
+                         n_sites=positions_block.shape[1])
+    assert local_r % tile == 0, (local_r, tile)
+    tiles_per_dev = local_r // tile
     tkind, tparams, tx, ty = _transform_spec(model)
     positions = jnp.asarray(positions_block, jnp.float32)
     site_disp = jnp.asarray(site_disp, jnp.float32)
@@ -469,6 +487,7 @@ def run_water_block_fused_sharded(
             keep_last=bool(model.keep_last_neighbor_rescaled),
             check_old=bool(model.check_from_old),
             d_oh=float(model.d_oh), interpret=use_interp,
+            layout=layout,
         )
 
     out_specs = tuple(

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cmdlmc_tpu.ops.kmc_sweep import _apply_law, _mix_key, _u01
+from cmdlmc_tpu.ops.kmc_sweep import _apply_law, _mix_key, _u01, _u01_t
 
 Array = jax.Array
 
@@ -74,10 +74,31 @@ def _apply_transform(tkind: int, d, tp, tx=None, ty=None, m_interp=0):
 
 def _make_kernel(*, n_sites, tile, block, k_atoms, kind, tkind, dt, seed,
                  relax, waiting, keep_last, check_old, d_oh, max_events,
-                 m_interp=0):
+                 m_interp=0, cols=False):
+    """``cols=True`` lays replica state out candidates/sites-major ([KL, TR] /
+    [N, TR] instead of [TR, KL] / [TR, N]) — same relayout as
+    ops/kmc_sweep_streamed.py, but the win is larger here: the water event
+    loop is dominated by [TR, KL=8] and [TR, 1] tensors whose last axis pads
+    to 128 lanes (16x dead VPU work); in cols layout the replicas ride the
+    lanes exactly and those tensors shrink to one vreg. RNG draws stay
+    element-identical per replica via _u01_t; reduction/matmul ORDER differs,
+    so results are distribution-equal to rows, not bitwise (own tests)."""
     N, TR, B, K = n_sites, tile, block, k_atoms
     f32 = jnp.float32
     KL = 8  # lane-padded candidate width
+
+    # orientation shims: every replica-state tensor is [KL|N|3|1, TR] in cols
+    # layout and [TR, KL|N|3|1] in rows layout
+    if cols:
+        sumK = lambda x: jnp.sum(x, axis=0, keepdims=True)
+        argK = lambda x: jnp.argmax(x, axis=0)[None, :]
+        draw = lambda key: _u01_t(key, (1, TR))
+        shape1 = (1, TR)
+    else:
+        sumK = lambda x: jnp.sum(x, axis=1, keepdims=True)
+        argK = lambda x: jnp.argmax(x, axis=1)[:, None]
+        draw = lambda key: _u01(key, (TR, 1))
+        shape1 = (TR, 1)
 
     def kernel(
         box_ref,  # SMEM f32 [4]
@@ -88,10 +109,10 @@ def _make_kernel(*, n_sites, tile, block, k_atoms, kind, tkind, dt, seed,
         ty_ref,  # SMEM f32 [M] interp table y
         post_ref,  # [B, 3, N]
         prev_ref, s0_ref,  # [3, N]
-        site_ref, last_ref, fsj_ref, wait_ref, jumps_ref, evc_ref,  # [TR,1] i32
-        u_ref,  # [TR,1] f32
-        corr_ref,  # [TR, 3] f32 (lane-padded, fine: 3 lanes)
-        a_ref,  # [TR, 3] f32 disp_base
+        site_ref, last_ref, fsj_ref, wait_ref, jumps_ref, evc_ref,  # shape1 i32
+        u_ref,  # shape1 f32
+        corr_ref,  # [TR, 3] rows / [3, TR] cols f32
+        a_ref,  # disp_base, same orientation as corr
         # outputs
         site_out, last_out, fsj_out, wait_out, jumps_out, evc_out,
         u_out, corr_out, a_out, s_out, prev_out, trunc_out,
@@ -116,30 +137,41 @@ def _make_kernel(*, n_sites, tile, block, k_atoms, kind, tkind, dt, seed,
         u_out[:] = u_ref[:]
         corr_out[:] = corr_ref[:]
         a_out[:] = a_ref[:]
-        trunc_out[:] = jnp.zeros((TR, 1), jnp.int32)
+        trunc_out[:] = jnp.zeros(shape1, jnp.int32)
         s_scr[:] = s0_ref[:]
         prev_scr[:] = prev_ref[:]
 
-        iota_n = jax.lax.broadcasted_iota(jnp.int32, (TR, N), 1)
-        iota_k = jax.lax.broadcasted_iota(jnp.int32, (TR, KL), 1)
-        lane_nn = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+        iota_n = jax.lax.broadcasted_iota(
+            jnp.int32, (N, TR) if cols else (TR, N), 0 if cols else 1
+        )
+        iota_k = jax.lax.broadcasted_iota(
+            jnp.int32, (KL, TR) if cols else (TR, KL), 0 if cols else 1
+        )
+        lane_nn = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0 if cols else 1)
 
         def minimg1(delta, length):
             return delta - length * jnp.round(delta / length)
 
-        def oh_dot(oh, table):
-            # [TR, N] one-hot @ [N, KL or 3] table -> gathered rows
+        def oh_dot(a, b):
+            # standard dim1-dim0 contraction in BOTH layouts (a dim0-dim0
+            # form inside @pl.when trips the XLA MXU-transpose RET_CHECK,
+            # see ops/kmc_sweep_streamed.py)
             return jax.lax.dot_general(
-                oh, table, (((1,), (0,)), ((), ())),
+                a, b, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
+        def gather_k(table_scr, oh):
+            # rows: [TR, N] one-hot @ [N, KL] table; cols: [KL, N] table @
+            # [N, TR] one-hot -> candidate rows per replica
+            return oh_dot(table_scr, oh) if cols else oh_dot(oh, table_scr)
+
         def candidates(site, last, fsj, wait):
-            """(rates [TR, KL], cand_i [TR, KL] f32) for the current states."""
-            oh_site = (iota_n == site).astype(f32)  # site [TR,1]
-            cand_d = oh_dot(oh_site, topd_scr[:])  # [TR, KL]
-            cand_r = oh_dot(oh_site, resc_scr[:])
-            cand_i = oh_dot(oh_site, topi_scr[:])
+            """(rates, cand_i) [TR, KL] (rows) / [KL, TR] (cols) f32."""
+            oh_site = (iota_n == site).astype(f32)  # site shape1
+            cand_d = gather_k(topd_scr[:], oh_site)
+            cand_r = gather_k(resc_scr[:], oh_site)
+            cand_i = gather_k(topi_scr[:], oh_site)
 
             if relax > 0:
                 factor = jnp.minimum(fsj.astype(f32) / f32(relax), 1.0)
@@ -154,16 +186,11 @@ def _make_kernel(*, n_sites, tile, block, k_atoms, kind, tkind, dt, seed,
                 d_eff = jnp.where(is_last, cand_r, d_eff)
                 if K == 4:
                     # old neighbor in slot 3 -> promote to slot 2
-                    in3 = jnp.sum(
-                        jnp.where(iota_k == 3, is_last.astype(f32), 0.0),
-                        axis=1, keepdims=True,
+                    in3 = sumK(
+                        jnp.where(iota_k == 3, is_last.astype(f32), 0.0)
                     ) > 0
-                    v3 = jnp.sum(
-                        jnp.where(iota_k == 3, d_eff, 0.0), axis=1, keepdims=True
-                    )
-                    i3 = jnp.sum(
-                        jnp.where(iota_k == 3, cand_i, 0.0), axis=1, keepdims=True
-                    )
+                    v3 = sumK(jnp.where(iota_k == 3, d_eff, 0.0))
+                    i3 = sumK(jnp.where(iota_k == 3, cand_i, 0.0))
                     slot2 = iota_k == 2
                     d_eff = jnp.where(jnp.logical_and(slot2, in3), v3, d_eff)
                     cand_i = jnp.where(jnp.logical_and(slot2, in3), i3, cand_i)
@@ -172,32 +199,24 @@ def _make_kernel(*, n_sites, tile, block, k_atoms, kind, tkind, dt, seed,
                     # old -> new — swap the farthest active candidate for the
                     # old oxygen at old's rescaled distance
                     lastf = last.astype(f32)
-                    oh_last = (
-                        iota_n == jnp.maximum(last, 0)
-                    ).astype(f32)  # [TR, N]
-                    old_i = oh_dot(oh_last, topi_scr[:])  # [TR, KL]
-                    old_r = oh_dot(oh_last, resc_scr[:])
+                    oh_last = (iota_n == jnp.maximum(last, 0)).astype(f32)
+                    old_i = gather_k(topi_scr[:], oh_last)
+                    old_r = gather_k(resc_scr[:], oh_last)
                     site_f = site.astype(f32)
                     eq_site = jnp.logical_and(old_i == site_f, iota_k < K)
-                    to_old_missing = jnp.sum(
-                        jnp.where(is_last, 1.0, 0.0), axis=1, keepdims=True
-                    ) == 0
+                    to_old_missing = sumK(jnp.where(is_last, 1.0, 0.0)) == 0
                     new_in_old = jnp.logical_and(
-                        jnp.sum(jnp.where(eq_site, 1.0, 0.0), axis=1,
-                                keepdims=True) > 0,
+                        sumK(jnp.where(eq_site, 1.0, 0.0)) > 0,
                         last >= 0,
                     )
                     do_swap = jnp.logical_and(to_old_missing, new_in_old)
                     # argmax over the 3 active slots (first max wins, matching
                     # jnp.argmax in the scan model)
                     d_act = jnp.where(iota_k < 3, d_eff, -jnp.inf)
-                    far = jnp.argmax(d_act, axis=1)[:, None]  # [TR, 1]
+                    far = argK(d_act)  # shape1
                     # old's rescaled distance at the first slot matching site
-                    first_eq = jnp.argmax(eq_site.astype(f32), axis=1)[:, None]
-                    old_dist = jnp.sum(
-                        jnp.where(iota_k == first_eq, old_r, 0.0),
-                        axis=1, keepdims=True,
-                    )
+                    first_eq = argK(eq_site.astype(f32))
+                    old_dist = sumK(jnp.where(iota_k == first_eq, old_r, 0.0))
                     sel = jnp.logical_and(iota_k == far, do_swap)
                     d_eff = jnp.where(sel, old_dist, d_eff)
                     cand_i = jnp.where(sel, lastf, cand_i)
@@ -213,7 +232,7 @@ def _make_kernel(*, n_sites, tile, block, k_atoms, kind, tkind, dt, seed,
             fsj = fsj_out[:]
             wait = wait_out[:]
             rates, cand_i = candidates(site, last, fsj, wait)
-            total = jnp.sum(rates, axis=1, keepdims=True)
+            total = sumK(rates)
 
             phase = phase_scr[:]
             done = done_scr[:]
@@ -225,38 +244,48 @@ def _make_kernel(*, n_sites, tile, block, k_atoms, kind, tkind, dt, seed,
             eph = phase + u / safe_total
 
             key2 = _mix_key(seed, tile_id, frame_idx, ev, 12)
-            u2 = _u01(key2, (TR, 1)) * total
+            u2 = draw(key2) * total
             # 3-way inverse CDF without cumsum (not lowerable in Mosaic):
             # lane sums r0, r0+r1 as masked reductions
-            r0 = jnp.sum(jnp.where(iota_k == 0, rates, 0.0), axis=1, keepdims=True)
-            r1 = jnp.sum(jnp.where(iota_k == 1, rates, 0.0), axis=1, keepdims=True)
+            r0 = sumK(jnp.where(iota_k == 0, rates, 0.0))
+            r1 = sumK(jnp.where(iota_k == 1, rates, 0.0))
             pick = (u2 >= r0).astype(jnp.int32) + (u2 >= r0 + r1).astype(jnp.int32)
             pick = jnp.minimum(pick, 2)
-            dst_f = jnp.sum(
-                jnp.where(iota_k == pick, cand_i, 0.0), axis=1, keepdims=True
-            )
+            dst_f = sumK(jnp.where(iota_k == pick, cand_i, 0.0))
             dst = jnp.round(dst_f).astype(jnp.int32)
 
             firef = fire.astype(f32)
             oh_old = (iota_n == site).astype(f32)
             oh_new = (iota_n == dst).astype(f32)
-            # [TR, 3] position/prefix gathers via one MXU dot each
-            post_t = jnp.transpose(post)  # [N, 3]
-            s_t = jnp.transpose(s_scr[:])  # [N, 3]
-            p_old = oh_dot(oh_old, post_t)
-            p_new = oh_dot(oh_new, post_t)
-            s_old = oh_dot(oh_old, s_t)
-            s_new = oh_dot(oh_new, s_t)
-            jump = jnp.stack([
-                minimg1(p_new[:, i] - p_old[:, i], box[i]) for i in range(3)
-            ], axis=1)  # [TR, 3]
+            if cols:
+                # [3, TR] gathers: post/s_scr are ALREADY [3, N] — one
+                # standard matmul each, no per-event transpose
+                p_old = oh_dot(post, oh_old)
+                p_new = oh_dot(post, oh_new)
+                s_old = oh_dot(s_scr[:], oh_old)
+                s_new = oh_dot(s_scr[:], oh_new)
+                jump = jnp.concatenate([
+                    minimg1(p_new[i : i + 1, :] - p_old[i : i + 1, :], box[i])
+                    for i in range(3)
+                ], axis=0)  # [3, TR]
+            else:
+                # [TR, 3] position/prefix gathers via one MXU dot each
+                post_t = jnp.transpose(post)  # [N, 3]
+                s_t = jnp.transpose(s_scr[:])  # [N, 3]
+                p_old = oh_dot(oh_old, post_t)
+                p_new = oh_dot(oh_new, post_t)
+                s_old = oh_dot(oh_old, s_t)
+                s_new = oh_dot(oh_new, s_t)
+                jump = jnp.stack([
+                    minimg1(p_new[:, i] - p_old[:, i], box[i]) for i in range(3)
+                ], axis=1)  # [TR, 3]
 
             a_out[:] = a_out[:] + firef * (s_old - s_new + jump)
             if d_oh != 0.0:
                 # correction points new -> old: the proton lands 2 d_OH short
                 # of the full O-O step (PositionTracker computes
                 # atombox.distance(new, old) = old - new, excess_kmc.py:265-277)
-                norm2 = jnp.sum(jump * jump, axis=1, keepdims=True)
+                norm2 = sumK(jump * jump)
                 inv = jax.lax.rsqrt(jnp.maximum(norm2, 1e-12))
                 corr_out[:] = corr_out[:] - firef * (2.0 * f32(d_oh)) * jump * inv
 
@@ -268,7 +297,7 @@ def _make_kernel(*, n_sites, tile, block, k_atoms, kind, tkind, dt, seed,
             evc_out[:] = evc_out[:] + fire.astype(jnp.int32)
 
             key3 = _mix_key(seed, tile_id, frame_idx, ev, 13)
-            fresh_u = -jnp.log(_u01(key3, (TR, 1)))
+            fresh_u = -jnp.log(draw(key3))
             u_out[:] = jnp.where(fire, fresh_u, u)
             phase_scr[:] = jnp.where(fire, eph, phase)
             done_scr[:] = jnp.logical_or(done, jnp.logical_not(fire))
@@ -298,13 +327,25 @@ def _make_kernel(*, n_sites, tile, block, k_atoms, kind, tkind, dt, seed,
                     ii == jj, _BIG, jnp.sqrt(acc)
                 )
 
-            # iterative top-K nearest neighbors per site
+            # iterative top-K nearest neighbors per site. The distance matrix
+            # is exactly symmetric (minimg1(-x) == -minimg1(x), squared), so
+            # the cols layout reduces along axis 0 — same values, same
+            # first-win tie order, bit-identical tables transposed.
             for kk in range(K):
-                vals = jnp.min(d_scr[:], axis=1, keepdims=True)  # [N, 1]
-                idx = jnp.argmin(d_scr[:], axis=1)[:, None]  # [N, 1]
-                col = jax.lax.broadcasted_iota(jnp.int32, (N, KL), 1) == kk
-                topd_scr[:] = jnp.where(col, vals, topd_scr[:])
-                topi_scr[:] = jnp.where(col, idx.astype(f32), topi_scr[:])
+                if cols:
+                    vals = jnp.min(d_scr[:], axis=0, keepdims=True)  # [1, N]
+                    idx = jnp.argmin(d_scr[:], axis=0)[None, :]  # [1, N]
+                    sel = jax.lax.broadcasted_iota(
+                        jnp.int32, (KL, N), 0
+                    ) == kk
+                else:
+                    vals = jnp.min(d_scr[:], axis=1, keepdims=True)  # [N, 1]
+                    idx = jnp.argmin(d_scr[:], axis=1)[:, None]  # [N, 1]
+                    sel = jax.lax.broadcasted_iota(
+                        jnp.int32, (N, KL), 1
+                    ) == kk
+                topd_scr[:] = jnp.where(sel, vals, topd_scr[:])
+                topi_scr[:] = jnp.where(sel, idx.astype(f32), topi_scr[:])
                 d_scr[:] = jnp.where(lane_nn == idx, _BIG, d_scr[:])
             resc_scr[:] = _apply_transform(
                 tkind, topd_scr[:], tp, tx=tx, ty=ty, m_interp=m_interp
@@ -312,8 +353,8 @@ def _make_kernel(*, n_sites, tile, block, k_atoms, kind, tkind, dt, seed,
 
             frame_idx = frame0 + f
             frame_time = frame_idx.astype(f32) * f32(dt)
-            phase_scr[:] = jnp.zeros((TR, 1), f32)
-            done_scr[:] = jnp.zeros((TR, 1), jnp.bool_)
+            phase_scr[:] = jnp.zeros(shape1, f32)
+            done_scr[:] = jnp.zeros(shape1, jnp.bool_)
 
             ev_iter(post, frame_idx, frame_time, 0)
             for ev in range(1, max_events):
@@ -332,7 +373,7 @@ def _make_kernel(*, n_sites, tile, block, k_atoms, kind, tkind, dt, seed,
 
             # leftover integrated rate
             rates, _ = candidates(site_out[:], last_out[:], fsj_out[:], wait_out[:])
-            total = jnp.sum(rates, axis=1, keepdims=True)
+            total = sumK(rates)
             u_out[:] = u_out[:] - total * (f32(dt) - phase_scr[:])
 
             # per-frame counters (match models/water.py order)
@@ -355,6 +396,7 @@ def _make_kernel(*, n_sites, tile, block, k_atoms, kind, tkind, dt, seed,
     static_argnames=(
         "kind", "tkind", "k_atoms", "tile", "max_events", "dt", "seed",
         "relax", "waiting", "keep_last", "check_old", "d_oh", "interpret",
+        "layout",
     ),
 )
 def water_sweep(
@@ -371,6 +413,7 @@ def water_sweep(
     kind: int, tkind: int, k_atoms: int, tile: int, max_events: int,
     dt: float, seed: int, relax: int, waiting: int, keep_last: bool,
     check_old: bool = False, d_oh: float, interpret: bool = False,
+    layout: str = "rows",
 ):
     B, N, _ = positions.shape
     R = site.shape[0]
@@ -378,6 +421,7 @@ def water_sweep(
     assert R % TR == 0
     grid = (R // TR,)
     KL = 8
+    cols = layout == "cols"
     if interp_x is None:
         interp_x = jnp.zeros(1, jnp.float32)
         interp_y = jnp.zeros(1, jnp.float32)
@@ -387,7 +431,7 @@ def water_sweep(
         n_sites=N, tile=TR, block=B, k_atoms=k_atoms, kind=kind, tkind=tkind,
         dt=dt, seed=seed, relax=relax, waiting=waiting, keep_last=keep_last,
         check_old=check_old, d_oh=d_oh, max_events=max_events,
-        m_interp=m_interp,
+        m_interp=m_interp, cols=cols,
     )
 
     box = jnp.concatenate([
@@ -399,6 +443,11 @@ def water_sweep(
     post = jnp.swapaxes(jnp.asarray(positions, jnp.float32), 1, 2)
 
     def rep(*shape):
+        if cols:
+            return pl.BlockSpec(
+                (*shape, TR), lambda r: (0,) * len(shape) + (r,),
+                memory_space=pltpu.VMEM,
+            )
         return pl.BlockSpec(
             (TR, *shape), lambda r: (r,) + (0,) * len(shape),
             memory_space=pltpu.VMEM,
@@ -407,21 +456,25 @@ def water_sweep(
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    i1 = lambda x: x.reshape(R, 1).astype(jnp.int32)
+    shp = lambda *s: (*s, R) if cols else (R, *s)
+    i1 = lambda x: x.reshape(shp(1)[0], shp(1)[1]).astype(jnp.int32)
+    f1 = lambda x: x.reshape(shp(1)[0], shp(1)[1]).astype(jnp.float32)
+    f3 = lambda x: (jnp.asarray(x, jnp.float32).T if cols
+                    else jnp.asarray(x, jnp.float32))
 
     out_shapes = (
-        jax.ShapeDtypeStruct((R, 1), jnp.int32),  # site
-        jax.ShapeDtypeStruct((R, 1), jnp.int32),  # last
-        jax.ShapeDtypeStruct((R, 1), jnp.int32),  # fsj
-        jax.ShapeDtypeStruct((R, 1), jnp.int32),  # wait
-        jax.ShapeDtypeStruct((R, 1), jnp.int32),  # jumps
-        jax.ShapeDtypeStruct((R, 1), jnp.int32),  # evc
-        jax.ShapeDtypeStruct((R, 1), jnp.float32),  # u
-        jax.ShapeDtypeStruct((R, 3), jnp.float32),  # corr
-        jax.ShapeDtypeStruct((R, 3), jnp.float32),  # disp_base
+        jax.ShapeDtypeStruct(shp(1), jnp.int32),  # site
+        jax.ShapeDtypeStruct(shp(1), jnp.int32),  # last
+        jax.ShapeDtypeStruct(shp(1), jnp.int32),  # fsj
+        jax.ShapeDtypeStruct(shp(1), jnp.int32),  # wait
+        jax.ShapeDtypeStruct(shp(1), jnp.int32),  # jumps
+        jax.ShapeDtypeStruct(shp(1), jnp.int32),  # evc
+        jax.ShapeDtypeStruct(shp(1), jnp.float32),  # u
+        jax.ShapeDtypeStruct(shp(3), jnp.float32),  # corr
+        jax.ShapeDtypeStruct(shp(3), jnp.float32),  # disp_base
         jax.ShapeDtypeStruct((3, N), jnp.float32),  # site_disp
         jax.ShapeDtypeStruct((3, N), jnp.float32),  # prev
-        jax.ShapeDtypeStruct((R, 1), jnp.int32),  # truncated-frame count
+        jax.ShapeDtypeStruct(shp(1), jnp.int32),  # truncated-frame count
     )
     out_specs = (
         rep(1), rep(1), rep(1), rep(1), rep(1), rep(1), rep(1),
@@ -432,8 +485,12 @@ def water_sweep(
     # default 16 MB scoped-VMEM cap for big water boxes — raise it
     from cmdlmc_tpu.ops.vmem_budget import limit_bytes, padded_bytes as padded
 
-    vmem = padded(B, 3, N) + padded(N, N) + 3 * padded(N, KL)
-    vmem += 6 * padded(3, N) + 18 * padded(TR, 3) + 12 * padded(TR, 1)
+    vmem = padded(B, 3, N) + padded(N, N)
+    if cols:
+        vmem += 3 * padded(KL, N) + 18 * padded(3, TR) + 12 * padded(1, TR)
+    else:
+        vmem += 3 * padded(N, KL) + 18 * padded(TR, 3) + 12 * padded(TR, 1)
+    vmem += 6 * padded(3, N)
 
     res = pl.pallas_call(
         kernel,
@@ -450,11 +507,11 @@ def water_sweep(
             pltpu.VMEM((3, N), jnp.float32),  # s_scr
             pltpu.VMEM((3, N), jnp.float32),  # prev_scr
             pltpu.VMEM((N, N), jnp.float32),  # d_scr
-            pltpu.VMEM((N, KL), jnp.float32),  # topd
-            pltpu.VMEM((N, KL), jnp.float32),  # topi
-            pltpu.VMEM((N, KL), jnp.float32),  # resc
-            pltpu.VMEM((TR, 1), jnp.float32),  # phase
-            pltpu.VMEM((TR, 1), jnp.bool_),  # done
+            pltpu.VMEM((KL, N) if cols else (N, KL), jnp.float32),  # topd
+            pltpu.VMEM((KL, N) if cols else (N, KL), jnp.float32),  # topi
+            pltpu.VMEM((KL, N) if cols else (N, KL), jnp.float32),  # resc
+            pltpu.VMEM((1, TR) if cols else (TR, 1), jnp.float32),  # phase
+            pltpu.VMEM((1, TR) if cols else (TR, 1), jnp.bool_),  # done
         ],
         interpret=pltpu.InterpretParams() if interpret else False,
         compiler_params=pltpu.CompilerParams(
@@ -474,12 +531,14 @@ def water_sweep(
         jnp.asarray(prev_pos, jnp.float32).T,
         jnp.asarray(site_disp, jnp.float32).T,
         i1(site), i1(last_site), i1(fsj), i1(wait), i1(jumps), i1(evc),
-        u_rem.reshape(R, 1).astype(jnp.float32),
-        jnp.asarray(corr, jnp.float32), jnp.asarray(disp_base, jnp.float32),
+        f1(u_rem),
+        f3(corr), f3(disp_base),
     )
     (site2, last2, fsj2, wait2, jumps2, evc2, u2, corr2, a2, s2, prev2,
      trunc2) = res
     flat = lambda x: x.reshape(R)
+    if cols:
+        corr2, a2 = corr2.T, a2.T
     return (
         flat(site2), flat(last2), flat(fsj2), flat(wait2), flat(jumps2),
         flat(evc2), u2.reshape(R), corr2, a2, s2.T, prev2.T, flat(trunc2),

@@ -283,6 +283,88 @@ def test_doh_correction_matches_scan_backend():
             )
 
 
+def test_cols_layout_matches_rows_distributionally():
+    """Candidates-major ("cols") kernel layout vs the default rows layout:
+    RNG draws are element-identical per replica (_u01_t) and the top-K tables
+    are bit-identical (symmetric distance matrix, axis-0 reductions), but
+    reduction order differs — distribution-equal, with every kernel branch on
+    (relaxation + keep-last + check_from_old + interp transform)."""
+    from cmdlmc_tpu.topo.transforms import InterpolatedTransformation
+
+    rng = np.random.RandomState(7)
+    pos = (ring_positions(10, 2.6) + rng.normal(scale=0.3, size=(10, 3))
+           ).astype(np.float32)
+    transform = InterpolatedTransformation(
+        x=jnp.asarray([2.0, 2.4, 2.6, 2.8, 3.2], jnp.float32),
+        y=jnp.asarray([2.0, 2.2, 2.25, 2.3, 3.2], jnp.float32),
+    )
+    model = make_model(
+        cell=Cell.cubic([26.0, 26.0, 26.0]),
+        law=Fermi(a=jnp.float32(0.1), b=jnp.float32(2.3), c=jnp.float32(0.2)),
+        transform=transform, relaxation_time=8,
+        keep_last_neighbor_rescaled=True, check_from_old=True,
+        d_oh=jnp.float32(0.2),
+    )
+    R, F, dt = 48, 400, 0.5
+    states, _ = init(model, pos, R)
+    block = jnp.asarray(np.broadcast_to(pos, (F, *pos.shape)))
+    sd = jnp.zeros((10, 3), jnp.float32)
+    pp = jnp.asarray(pos)
+    kw = dict(site_disp=sd, prev_pos=pp, dt=dt, seed=11, tile=16,
+              interpret=True)
+    out_r, _, _ = wm.run_water_block_fused(
+        model, states, block, 0, layout="rows", **kw
+    )
+    out_c, _, _ = wm.run_water_block_fused(
+        model, states, block, 0, layout="cols", **kw
+    )
+    ev_r = np.asarray(out_r.clock.event_count, float)
+    ev_c = np.asarray(out_c.clock.event_count, float)
+    assert ev_r.sum() > 0
+    se = np.sqrt(ev_r.var(ddof=1) / R + ev_c.var(ddof=1) / R)
+    assert abs(ev_r.mean() - ev_c.mean()) < 5 * max(se, 1e-9), (
+        ev_r.mean(), ev_c.mean()
+    )
+    m_r = (np.asarray(out_r.displacement) ** 2).sum(axis=1)
+    m_c = (np.asarray(out_c.displacement) ** 2).sum(axis=1)
+    se = np.sqrt(m_r.var(ddof=1) / R + m_c.var(ddof=1) / R)
+    assert abs(m_r.mean() - m_c.mean()) < 5 * max(se, 1e-9) + 0.15 * m_r.mean()
+
+
+def test_cols_layout_chunk_invariance():
+    """Two 100-frame cols-layout blocks == one 200-frame block: the rebased
+    displacement carry and absolute-frame RNG keying hold in both layouts."""
+    pos = ring_positions()
+    model = make_model()
+    R = 16
+    states, _ = init(model, pos, R)
+
+    def run(states, F, frame0=0, sd=None, prev=None):
+        block = jnp.asarray(np.broadcast_to(pos, (F, *pos.shape)))
+        if sd is None:
+            sd = jnp.zeros((pos.shape[0], 3), jnp.float32)
+        if prev is None:
+            prev = jnp.asarray(pos)
+        return wm.run_water_block_fused(
+            model, states, block, frame0, site_disp=sd, prev_pos=prev,
+            dt=0.5, seed=11, tile=16, interpret=True, layout="cols",
+        )
+
+    full, s_full, prev_full = run(states, 200)
+    half, s_half, prev_half = run(states, 100)
+    resumed, _, _ = run(half, 100, frame0=100, sd=s_half, prev=prev_half)
+
+    np.testing.assert_array_equal(
+        np.asarray(full.clock.event_count),
+        np.asarray(resumed.clock.event_count),
+    )
+    np.testing.assert_array_equal(np.asarray(full.site), np.asarray(resumed.site))
+    np.testing.assert_allclose(
+        np.asarray(full.displacement), np.asarray(resumed.displacement),
+        atol=1e-5,
+    )
+
+
 def test_sharded_water_matches_single_device():
     """run_water_block_fused_sharded over the 8-device mesh equals the
     single-device fused run (per-shard tile-id offsets -> identical RNG)."""

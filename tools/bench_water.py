@@ -26,6 +26,8 @@ ap.add_argument("--scan", action="store_true", help="also time the scan backend"
 ap.add_argument("--transform", choices=("none", "linear", "interp"),
                 default="linear")
 ap.add_argument("--check-from-old", action="store_true")
+ap.add_argument("--layout", choices=("rows", "cols"), default=None,
+                help="kernel state layout (default: auto — cols on TPU)")
 args = ap.parse_args()
 if args.platform:
     jax.config.update("jax_platforms", args.platform)
@@ -87,23 +89,31 @@ def report(label, t):
           f"{su/1e9:7.3f} G site-updates/s", flush=True)
 
 
-# fused
+# fused — best of 2 timed passes (tunnel stalls produce 2-4x swings on
+# identical configs; same methodology as bench.py)
 sd = jnp.zeros((N, 3), jnp.float32)
 pp = jnp.asarray(positions)
 st, s_out, p_out = wm.run_water_block_fused(
     model, states, blocks[0], 0, site_disp=sd, prev_pos=pp, dt=0.5,
-    max_events=args.max_events, seed=3, tile=args.tile,
+    max_events=args.max_events, seed=3, tile=args.tile, layout=args.layout,
 )
 sync(st.clock.event_count)
-t0 = time.perf_counter()
-for b in range(1, args.blocks + 1):
-    st, s_out, p_out = wm.run_water_block_fused(
-        model, st, blocks[b], b * B, site_disp=s_out, prev_pos=p_out, dt=0.5,
-        max_events=args.max_events, seed=3, tile=args.tile,
-    )
-sync(st.clock.event_count)
-report("fused", time.perf_counter() - t0)
-print(f"  events/replica: {float(np.asarray(st.clock.event_count).mean()):.1f}")
+best = float("inf")
+for _pass in range(2):
+    stp, sp, ppp = st, s_out, p_out
+    t0 = time.perf_counter()
+    for b in range(1, args.blocks + 1):
+        stp, sp, ppp = wm.run_water_block_fused(
+            model, stp, blocks[b], b * B, site_disp=sp, prev_pos=ppp, dt=0.5,
+            max_events=args.max_events, seed=3, tile=args.tile,
+            layout=args.layout,
+        )
+    sync(stp.clock.event_count)
+    best = min(best, time.perf_counter() - t0)
+st = stp
+report("fused", best)
+print(f"  events/replica: {float(np.asarray(st.clock.event_count).mean()):.1f}"
+      f"  (best of 2 passes)")
 
 if args.scan:
     st2, _, _ = wm.run_water_block(
