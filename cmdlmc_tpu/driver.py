@@ -244,6 +244,10 @@ class Simulation:
         self.final_states = None
         self._max_truncation = 0.0
         self._fused_trunc = None  # device scalar: mean truncated fraction
+        # (frames, stacked device stats) awaiting a host fetch — the fused
+        # path materializes each block's observable rows one block LATE so
+        # the device->host round trip rides under the next block's kernels
+        self._fused_stats_pending = None
         # steady-state perf bookkeeping (first block carries backend init +
         # compile; exclude it from the sustained rate)
         self._steady_t0 = None
@@ -463,7 +467,7 @@ class Simulation:
                 # the scan engine would print or reset: per-frame cadence
                 # parity with the reference (MDMC.py:198-208) instead of
                 # block-boundary-only observables.
-                fused_records = []
+                fused_pending = []
                 for sub_start, sub_end in self._fused_spans(
                     block.start, block_end_idx
                 ):
@@ -502,8 +506,8 @@ class Simulation:
                         frac if self._fused_trunc is None
                         else jnp.maximum(self._fused_trunc, frac)
                     )
-                    states, recs = self._fused_post(states, sub_end)
-                    fused_records.extend(recs)
+                    states, pend = self._fused_post(states, sub_end)
+                    fused_pending.extend(pend)
                 rows = None
             else:
                 states, rows = eng.run_block(
@@ -524,23 +528,40 @@ class Simulation:
                 if trunc > self._max_truncation:
                     self._max_truncation = trunc
             blocks_done += 1
-            if (
+            will_ckpt = (
                 ckpt_path
                 and cfg.engine.checkpoint_interval > 0
                 and blocks_done % cfg.engine.checkpoint_interval == 0
-            ):
-                save_checkpoint(
-                    ckpt_path, states, keys, block_end_idx,
-                    meta=self._ckpt_meta(),
-                )
+            )
             if self._steady_t0 is None:
                 import time as _t
 
                 self._steady_t0 = _t.time()
                 self._steady_frames0 = block.start + block.n_frames
             if use_fused:
-                yield from fused_records
-            else:
+                # one-block-deferred fetch: this block's kernels are already
+                # dispatched (async), so materializing the PREVIOUS block's
+                # rows now lets the round trip overlap device compute
+                prev_batch = self._fused_stats_pending
+                self._fused_stats_pending = (
+                    ([f for f, _ in fused_pending],
+                     jnp.stack([s for _, s in fused_pending]))
+                    if fused_pending else None
+                )
+                if prev_batch is not None:
+                    yield from self._emit_fused(prev_batch)
+                if will_ckpt and self._fused_stats_pending is not None:
+                    # flush before the checkpoint write: a checkpoint must
+                    # never cover frames whose rows were not yet emitted
+                    # (a crash after the save would lose them on resume)
+                    yield from self._emit_fused(self._fused_stats_pending)
+                    self._fused_stats_pending = None
+            if will_ckpt:
+                save_checkpoint(
+                    ckpt_path, states, keys, block_end_idx,
+                    meta=self._ckpt_meta(),
+                )
+            if not use_fused:
                 for i in range(block.n_frames):
                     frame_no = int(rows.frame[i])
                     if frame_no < cfg.engine.equilibration_sweeps:
@@ -557,6 +578,9 @@ class Simulation:
                             msd4=float(rows.msd4_mean[i]),
                         )
             last_frame_done = block_end_idx
+        if self._fused_stats_pending is not None:  # flush the deferred block
+            yield from self._emit_fused(self._fused_stats_pending)
+            self._fused_stats_pending = None
         self.final_states = states
         if ckpt_path and states is not None and blocks_done > 0:
             save_checkpoint(
@@ -605,7 +629,10 @@ class Simulation:
         """Observable snapshot / reset at a sub-block boundary of the fused
         backend. ``boundary`` is the index of the next unprocessed frame, so
         the action frame is f = boundary - 1; reset-before-print ordering
-        matches the scan engine (and MDMC.py:198-208)."""
+        matches the scan engine (and MDMC.py:198-208). Print-frame stats stay
+        ON DEVICE — (frame, 10-vector) pairs the caller batches and fetches a
+        block later (each host fetch is a full round trip on a tunneled
+        backend; the soak phase profiler measured it at ~40-75 ms)."""
         cfg = self.cfg
         f = boundary - 1
         rf = cfg.output.reset_frequency
@@ -616,25 +643,27 @@ class Simulation:
                 states,
                 replicas=eng._reset_states(states.replicas, states.site_disp),
             )
-        records = []
+        pending = []
         if f % cfg.output.print_frequency == 0 and f >= eq:
-            # One bundled device->host fetch: on a tunneled/remote backend each
-            # fetch costs a round trip, so the reductions happen on device and
-            # come back as a single 9-vector.
-            stats = np.asarray(_fused_obs_stats(states))
-            records.append(
-                ObservableRecord(
-                    frame=f,
-                    time=f * self.dt,
-                    msd=stats[0:3],
-                    msd_var=stats[3:6],
-                    autocorr=float(stats[6]),
-                    autocorr_var=float(stats[7]),
-                    jumps=float(stats[8]),
-                    msd4=float(stats[9]),
-                )
+            pending.append((f, _fused_obs_stats(states)))
+        return states, pending
+
+    def _emit_fused(self, batch):
+        """Materialize one block's deferred fused observable rows: a single
+        bundled device->host fetch for all of the block's print boundaries."""
+        frames_, stats = batch
+        arr = np.asarray(stats)  # [n_prints, 10]
+        for f, row in zip(frames_, arr):
+            yield ObservableRecord(
+                frame=f,
+                time=f * self.dt,
+                msd=row[0:3],
+                msd_var=row[3:6],
+                autocorr=float(row[6]),
+                autocorr_var=float(row[7]),
+                jumps=float(row[8]),
+                msd4=float(row[9]),
             )
-        return states, records
 
     def _format_xyz(self, pos: np.ndarray, proton_sites: np.ndarray,
                     frame_no: int) -> str:
