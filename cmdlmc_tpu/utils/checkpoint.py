@@ -53,7 +53,12 @@ def save_checkpoint(path: str, states, keys, next_frame: int, meta: dict | None 
     if meta:
         for k, v in meta.items():
             out[f"meta.{k}"] = np.asarray(v)
-    np.savez_compressed(path, **out)
+    # write to the EXACT configured path: bare np.savez_compressed appends
+    # ".npz" when missing, which would desync the driver's resume existence
+    # check (a `checkpoint_path = run.ckpt` would save run.ckpt.npz and then
+    # silently restart from frame 0 on every re-run)
+    with open(path, "wb") as f:
+        np.savez_compressed(f, **out)
 
 
 def load_checkpoint(path: str):

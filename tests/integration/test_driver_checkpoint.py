@@ -81,6 +81,23 @@ def test_resume_is_bit_exact(tmp_path):
     assert part2 == full[len(part1):]
 
 
+def test_resume_works_without_npz_extension(tmp_path):
+    """checkpoint_path without a .npz suffix must still resume: bare
+    np.savez_compressed appends '.npz', desyncing the driver's existence
+    check, so every re-run would silently restart from frame 0."""
+    traj = make_traj(tmp_path)
+
+    full = run(config(traj, 80, tmp_path / "full.ckpt"))
+    part1 = run(config(traj, 40, tmp_path / "resume.ckpt"))
+    assert (tmp_path / "resume.ckpt").exists(), (
+        "checkpoint must be written to the exact configured path"
+    )
+    part2 = run(config(traj, 80, tmp_path / "resume.ckpt"))
+
+    assert full[: len(part1)] == part1
+    assert part2 == full[len(part1):]
+
+
 def test_replica_dump(tmp_path):
     import numpy as np
 
