@@ -351,7 +351,7 @@ class Simulation:
     # -- main loop ---------------------------------------------------------------
 
     def observable_rows(self) -> Iterator[ObservableRecord]:
-        from cmdlmc_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+        from cmdlmc_tpu.utils.checkpoint import CheckpointWriter, load_checkpoint
 
         cfg = self.cfg
         model = None
@@ -359,6 +359,9 @@ class Simulation:
         keys = None
         n_sites_expected = cfg.kmc.lattice_size
         ckpt_path = cfg.engine.checkpoint_path
+        # async writer: mid-run saves ride under the next blocks' kernels
+        # (device arrays are immutable, so holding references is a snapshot)
+        ckpt_writer = CheckpointWriter(ckpt_path) if ckpt_path else None
         resume_frame = 0
         blocks_done = 0
         last_frame_done = 0
@@ -557,9 +560,8 @@ class Simulation:
                     yield from self._emit_fused(self._fused_stats_pending)
                     self._fused_stats_pending = None
             if will_ckpt:
-                save_checkpoint(
-                    ckpt_path, states, keys, block_end_idx,
-                    meta=self._ckpt_meta(),
+                ckpt_writer.save(
+                    states, keys, block_end_idx, meta=self._ckpt_meta()
                 )
             if not use_fused:
                 for i in range(block.n_frames):
@@ -583,10 +585,10 @@ class Simulation:
             self._fused_stats_pending = None
         self.final_states = states
         if ckpt_path and states is not None and blocks_done > 0:
-            save_checkpoint(
-                ckpt_path, states, keys, last_frame_done,
-                meta=self._ckpt_meta(),
-            )
+            ckpt_writer.save(states, keys, last_frame_done,
+                             meta=self._ckpt_meta())
+        if ckpt_writer is not None:
+            ckpt_writer.close()  # run is complete only once the file is
 
     def _ckpt_meta(self) -> dict:
         return {
@@ -691,7 +693,7 @@ class Simulation:
         observables path: the fused kernel runs span-by-span to each print
         boundary and replica 0's sites are fetched there; ``backend = fused``
         is honored (or raises via the same gate), checkpoints resume."""
-        from cmdlmc_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+        from cmdlmc_tpu.utils.checkpoint import CheckpointWriter, load_checkpoint
 
         cfg = self.cfg
         model = None
@@ -699,6 +701,7 @@ class Simulation:
         keys = None
         mesh = self._resolve_mesh()
         ckpt_path = cfg.engine.checkpoint_path
+        ckpt_writer = CheckpointWriter(ckpt_path) if ckpt_path else None
         resume_frame = 0
         blocks_done = 0
         last_frame_done = 0
@@ -843,16 +846,15 @@ class Simulation:
                 and cfg.engine.checkpoint_interval > 0
                 and blocks_done % cfg.engine.checkpoint_interval == 0
             ):
-                save_checkpoint(
-                    ckpt_path, states, keys, block_end_idx,
-                    meta=self._ckpt_meta(),
+                ckpt_writer.save(
+                    states, keys, block_end_idx, meta=self._ckpt_meta()
                 )
         self.final_states = states
         if ckpt_path and states is not None and blocks_done > 0:
-            save_checkpoint(
-                ckpt_path, states, keys, last_frame_done,
-                meta=self._ckpt_meta(),
-            )
+            ckpt_writer.save(states, keys, last_frame_done,
+                             meta=self._ckpt_meta())
+        if ckpt_writer is not None:
+            ckpt_writer.close()
 
     def run(self, out=None):
         import time as _time

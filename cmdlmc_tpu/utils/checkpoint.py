@@ -11,6 +11,8 @@ property that makes host chunking invisible — engine/clock.py).
 from __future__ import annotations
 
 import dataclasses
+import os
+import threading
 from typing import Any
 
 import jax
@@ -43,8 +45,14 @@ def _rebuild(cls, prefix: str, data: dict):
     return cls(**kwargs)
 
 
-def save_checkpoint(path: str, states, keys, next_frame: int, meta: dict | None = None):
-    """Persist replica states + RNG keys + stream position to ``path`` (.npz)."""
+def save_checkpoint(path: str, states, keys, next_frame: int,
+                    meta: dict | None = None, compress: bool = False):
+    """Persist replica states + RNG keys + stream position to ``path`` (.npz).
+
+    Uncompressed by default: the state is a few tens of MB of nearly
+    incompressible floats and zlib on this class of host costs seconds per
+    save — enough to stall the device pipeline at soak checkpoint cadence.
+    """
     out: dict[str, Any] = {}
     _flatten("state.", jax.device_get(states), out)
     out["keys"] = np.asarray(jax.random.key_data(keys))
@@ -53,12 +61,62 @@ def save_checkpoint(path: str, states, keys, next_frame: int, meta: dict | None 
     if meta:
         for k, v in meta.items():
             out[f"meta.{k}"] = np.asarray(v)
-    # write to the EXACT configured path: bare np.savez_compressed appends
-    # ".npz" when missing, which would desync the driver's resume existence
-    # check (a `checkpoint_path = run.ckpt` would save run.ckpt.npz and then
-    # silently restart from frame 0 on every re-run)
-    with open(path, "wb") as f:
-        np.savez_compressed(f, **out)
+    # Stage + atomic rename, for two reasons: a crash mid-write must never
+    # leave a torn file where a resumable checkpoint used to be, and the
+    # final open() must target the EXACT configured path (bare
+    # np.savez_compressed appends ".npz" when missing, which would desync the
+    # driver's resume existence check — `checkpoint_path = run.ckpt` would
+    # save run.ckpt.npz and silently restart from frame 0 on every re-run).
+    tmp = f"{path}.tmp"
+    with open(tmp, "wb") as f:
+        (np.savez_compressed if compress else np.savez)(f, **out)
+    os.replace(tmp, path)
+
+
+class CheckpointWriter:
+    """Overlaps checkpoint writes with device compute.
+
+    ``save()`` holds references to the (immutable) device arrays and returns
+    immediately; a worker thread then does the device→host fetch and the disk
+    write while the main loop keeps dispatching kernels. On a tunneled
+    backend the fetch is the expensive part (a full-state round trip), so
+    riding it under the next blocks' compute removes the stall entirely.
+    Only one write is in flight: a new ``save()`` first joins the previous
+    one (at checkpoint cadence the previous write has long finished).
+    ``close()`` must be called before the run is declared complete.
+    """
+
+    def __init__(self, path: str, compress: bool = False):
+        self.path = path
+        self.compress = compress
+        self._thread: threading.Thread | None = None
+        self._error: BaseException | None = None
+
+    def _run(self, states, keys, next_frame, meta):
+        try:
+            save_checkpoint(self.path, states, keys, next_frame,
+                            meta=meta, compress=self.compress)
+        except BaseException as e:  # surfaced on the next save()/close()
+            self._error = e
+
+    def save(self, states, keys, next_frame: int, meta: dict | None = None):
+        self.wait()
+        self._thread = threading.Thread(
+            target=self._run, args=(states, keys, next_frame, meta),
+            name="ckpt-writer", daemon=True,
+        )
+        self._thread.start()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+    def close(self):
+        self.wait()
 
 
 def load_checkpoint(path: str):

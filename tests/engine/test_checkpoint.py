@@ -10,7 +10,9 @@ from cmdlmc_tpu.engine import lattice as eng
 from cmdlmc_tpu.models import water as wm
 from cmdlmc_tpu.rates.laws import Constant, Fermi
 from cmdlmc_tpu.topo.models import Frame, PairRates
-from cmdlmc_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from cmdlmc_tpu.utils.checkpoint import (
+    CheckpointWriter, load_checkpoint, save_checkpoint,
+)
 
 
 def build():
@@ -70,6 +72,39 @@ def test_lattice_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(s_full.replicas.jump_hist), np.asarray(s_resumed.replicas.jump_hist)
     )
+
+
+def test_checkpoint_writer_async(tmp_path):
+    """The background writer must produce the same loadable file as the
+    synchronous path, overwrite atomically across saves, and leave no
+    staging files behind."""
+    import os
+
+    cell, model, positions, states, keys = build()
+    s_half, _ = eng.run_block(model, cell, states, keys, frames(positions, 0, 30), dt=0.5)
+    path = str(tmp_path / "w.ckpt")  # extension-less: exact-path contract
+    w = CheckpointWriter(path)
+    w.save(states, keys, 0, meta={"seed": 4})
+    w.save(s_half, keys, 30, meta={"seed": 4})  # joins the first write
+    w.close()
+    assert os.listdir(tmp_path) == ["w.ckpt"]  # no .tmp leftovers
+    s_rest, keys_rest, next_frame, meta = load_checkpoint(path)
+    assert next_frame == 30  # the LAST save wins
+    assert int(meta["seed"]) == 4
+    np.testing.assert_array_equal(
+        np.asarray(s_half.replicas.site_of_proton),
+        np.asarray(s_rest.replicas.site_of_proton),
+    )
+
+    # a failing background write surfaces on the next interaction
+    bad = CheckpointWriter(str(tmp_path / "no_such_dir" / "x.ckpt"))
+    bad.save(states, keys, 0)
+    try:
+        bad.close()
+    except OSError:
+        pass
+    else:
+        raise AssertionError("background write error was swallowed")
 
 
 def test_water_checkpoint_roundtrip(tmp_path):
