@@ -155,6 +155,9 @@ def run_block_fused(
     if isinstance(model, (TopKPairRates, HydroniumRates)):
         from cmdlmc_tpu.ops import topk_sweep as ts
 
+        if layout is None:
+            layout = ts.pick_layout_topk(rep.occ.shape[1], interpret)
+        cols = layout == "cols"
         if tile is None:
             # the top-K kernel's true VMEM bound depends on block length
             # (resident candidate tables) as well as N — pick from the
@@ -165,9 +168,10 @@ def run_block_fused(
                 block=len(frames_positions),
                 k_cand=int(model.k), nbins=rep.jump_hist.shape[-1],
                 track_matrix=rep.jump_matrix.shape[-1] != 0,
+                cols=cols,
             )
         B = len(frames_positions)
-        chunk = ts.pick_frame_chunk(B, rep.occ.shape[1], int(model.k))
+        chunk = ts.pick_frame_chunk(B, rep.occ.shape[1], int(model.k), cols)
         if chunk < B:
             # bit-exact frame sub-chunking (RNG keyed by global frame and
             # event ordinal) keeps the block-resident candidate tables
@@ -181,7 +185,7 @@ def run_block_fused(
                     frame0 + s, dt=dt, max_events=max_events, seed=seed,
                     tile=tile, interpret=interpret,
                     tile_offset=tile_offset, return_truncation=True,
-                    hist_range=hist_range,
+                    hist_range=hist_range, layout=layout,
                 )
                 trunc_total = (
                     trunc if trunc_total is None else trunc_total + trunc
@@ -191,7 +195,7 @@ def run_block_fused(
             model, ens, frames_positions, frame0,
             dt=dt, max_events=max_events, seed=seed, tile=tile,
             interpret=interpret, tile_offset=tile_offset,
-            hist_range=hist_range,
+            hist_range=hist_range, layout=layout,
         )
     else:
         if tile is None:
@@ -397,6 +401,12 @@ def run_block_fused_sharded(
         if isinstance(model, (TopKPairRates, HydroniumRates)):
             from cmdlmc_tpu.ops import topk_sweep as ts
 
+            if layout is None:
+                layout = ts.pick_layout_topk(
+                    ens.replicas.occ.shape[1],
+                    bool(interpret if interpret is not None
+                         else jax.default_backend() != "tpu"),
+                )
             tile = ts.pick_tile_topk(
                 local_r, n_sites=ens.replicas.occ.shape[1],
                 n_protons=ens.replicas.site_of_proton.shape[1],
@@ -404,6 +414,7 @@ def run_block_fused_sharded(
                 k_cand=int(model.k),
                 nbins=ens.replicas.jump_hist.shape[-1],
                 track_matrix=ens.replicas.jump_matrix.shape[-1] != 0,
+                cols=layout == "cols",
             )
         else:
             tile = pick_tile(local_r, n_sites=ens.replicas.occ.shape[1])
@@ -421,6 +432,7 @@ def run_block_fused_sharded(
             interpret=interpret, hist_range=hist_range,
             tiles_per_dev=tiles_per_dev, nbins=nbins,
             track_matrix=track_matrix, return_truncation=return_truncation,
+            layout=layout,
         )
     if streamed is None and stale_rates:
         streamed = True
@@ -684,7 +696,7 @@ def _run_sharded_streamed(
 def _run_sharded_topk(
     model, cell, ens, frames_positions, frame0, mesh, *,
     axis, dt, max_events, seed, tile, interpret, hist_range, tiles_per_dev,
-    nbins, track_matrix=False, return_truncation=False,
+    nbins, track_matrix=False, return_truncation=False, layout=None,
 ):
     """Top-K fused kernels under shard_map: stage-1 candidate tables are
     replica-independent (built once, replicated); the kernel shards over
@@ -701,6 +713,10 @@ def _run_sharded_topk(
     use_interp = bool(
         interpret if interpret is not None else jax.default_backend() != "tpu"
     )
+    if layout is None:
+        # the same deterministic rule the single-device path applies, so both
+        # paths pick one layout and stay bit-identical at equal tile size
+        layout = ts.pick_layout_topk(rep0.occ.shape[1], use_interp)
     positions = jnp.asarray(frames_positions, jnp.float32)
     k_cand = min(int(model.k), positions.shape[1] - 1)
     has_interp = (
@@ -744,6 +760,7 @@ def _run_sharded_topk(
             hist_range=tuple(hist_range),
             track_matrix=track_matrix,
             orthorhombic=bool(cell.orthorhombic),
+            layout=layout,
         )
         keys = ["occ", "labels", "sites", "tlast", "disp_base", "u_rem",
                 "ev_count", "site_disp", "prev_pos", "trunc"]

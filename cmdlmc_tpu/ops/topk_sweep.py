@@ -41,7 +41,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cmdlmc_tpu.ops.kmc_sweep import _apply_law, _mix_key, _u01, law_kind, law_params_array
+from cmdlmc_tpu.ops.kmc_sweep import (
+    _apply_law, _mix_key, _u01, _u01_t, law_kind, law_params_array,
+)
 from cmdlmc_tpu.topo.models import Frame, HydroniumRates, TopKPairRates
 
 Array = jax.Array
@@ -257,12 +259,43 @@ def _delta_epilogue(tables, cmax: int):
 
 def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
                  dt, seed, has_interp, nbins, hist_range, track_matrix,
-                 orthorhombic=True, cmax=256):
+                 orthorhombic=True, cmax=256, cols=False):
+    """``cols=True`` lays replica state out sites-major ([N, TR] / [P, TR] /
+    [1, TR] instead of [TR, N] / [TR, P] / [TR, 1]) — the relayout that took
+    the dense streamed kernel 2.80 -> 5.45 G and the water kernel 2.81 ->
+    9.65 G su/s: replicas ride the 128 lanes exactly, so the event loop's
+    [TR, 1]/[TR, K] scalars shrink from 16 vregs to one and the [TR, N]
+    tensors lose the N -> next-multiple-of-128 lane padding (144 -> 256 = 44%
+    dead VPU work at the flagship N). RNG draws stay element-identical per
+    (replica, site/slot) via _u01_t; reduction/matmul ORDER differs, so cols
+    is distribution-equal to rows, not bitwise (rows remains the interpret
+    default and the exactness-oracle layout)."""
     N, P, TR, B, K = n_sites, n_protons, tile, block, k_cand
     C = cmax
     f32 = jnp.float32
     hist_lo, hist_hi = float(hist_range[0]), float(hist_range[1])
     hist_scale = float(nbins) / max(hist_hi - hist_lo, 1e-12)
+
+    # orientation shims: every replica-state tensor is [N|P|K|nbins|1, TR] in
+    # cols layout and [TR, N|P|K|nbins|1] in rows layout
+    if cols:
+        sumR = lambda x: jnp.sum(x, axis=0, keepdims=True)
+        argR = lambda x: jnp.argmax(x, axis=0)[None, :]
+        drawK = lambda key: _u01_t(key, (K, TR))
+        drawN = lambda key: _u01_t(key, (N, TR))
+        draw1 = lambda key: _u01_t(key, (1, TR))
+        shape1 = (1, TR)
+        tslice = lambda t, k: t[:, k : k + 1]  # layout-native table column
+    else:
+        sumR = lambda x: jnp.sum(x, axis=1, keepdims=True)
+        argR = lambda x: jnp.argmax(x, axis=1)[:, None]
+        drawK = lambda key: _u01(key, (TR, K))
+        drawN = lambda key: _u01(key, (TR, N))
+        draw1 = lambda key: _u01(key, (TR, 1))
+        shape1 = (TR, 1)
+        tslice = lambda t, k: t[k : k + 1, :]
+    catR = (lambda xs: jnp.concatenate(xs, axis=0)) if cols else (
+        lambda xs: jnp.concatenate(xs, axis=1))
 
     def kernel(*refs):
         it = iter(range(len(refs)))
@@ -273,10 +306,20 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
         post_ref = refs[next(it)]  # [B, 3, N]
         topd_ref = refs[next(it)]  # [B, KL, N]
         topi_ref = refs[next(it)]  # [B, KL, N] (f32 site indices)
-        resc_ref = refs[next(it)]  # [B, KL, N]
+        if cols:
+            # transposed tables [B, N, KL] feed everything the event loop
+            # slices per candidate; the untransposed topd/topi above still
+            # build tab_scr (the per-event stacked one-hot gather table)
+            topdt_ref = refs[next(it)]
+            topit_ref = refs[next(it)]
+            resct_ref = refs[next(it)]
+        else:
+            resc_ref = refs[next(it)]  # [B, KL, N]
         ci_ref = refs[next(it)]  # [B, 1, C] i32 changed columns (pad N)
-        cnbr_ref = refs[next(it)]  # [B, KL, C] i32 new ids there (pad N)
-        chg_ref = refs[next(it)]  # [B, 1, N] f32 changed-column mask
+        # rows: [B, KL, C] new ids at changed columns; cols: [B, C, KL]
+        cnbr_ref = refs[next(it)]
+        if not cols:
+            chg_ref = refs[next(it)]  # [B, 1, N] f32 changed-column mask
         prev_ref = refs[next(it)]  # [3, N]
         s0_ref = refs[next(it)]  # [3, N]
         occ_ref = refs[next(it)]
@@ -334,7 +377,7 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
         dbz_out[:] = dbz_ref[:]
         u_out[:] = u_ref[:]
         evc_out[:] = evc_ref[:]
-        trunc_out[:] = jnp.zeros((TR, 1), jnp.int32)
+        trunc_out[:] = jnp.zeros(shape1, jnp.int32)
         if nbins:
             hist_out[:] = hist_ref[:]
             expo_out[:] = expo_ref[:]
@@ -343,9 +386,14 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
         s_scr[:] = s0_ref[:]
         prev_scr[:] = prev_ref[:]
 
-        iota_n = jax.lax.broadcasted_iota(jnp.int32, (TR, N), 1)
+        iota_n = jax.lax.broadcasted_iota(
+            jnp.int32, (N, TR) if cols else (TR, N), 0 if cols else 1
+        )
         if nbins:
-            iota_b = jax.lax.broadcasted_iota(jnp.int32, (TR, nbins), 1)
+            iota_b = jax.lax.broadcasted_iota(
+                jnp.int32, (nbins, TR) if cols else (TR, nbins),
+                0 if cols else 1,
+            )
 
         def minimg3(d):
             """Round-based minimum image of a 3-vector (list of three
@@ -361,26 +409,26 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
                     for i in range(3)]
 
         def candidate_rates(tables, frame_time):
-            """K lists of allowed rates [TR, N] under the current state.
-            Without residence-time interpolation the resc table already holds
-            the law-applied rate (0 at invalid slots, see topk_tables), so this
-            is pure multiplies; with it the law runs in-kernel on the blended
-            per-replica distance."""
-            topd, topi, resc = tables
+            """K lists of allowed rates [TR, N] (rows) / [N, TR] (cols) under
+            the current state. Without residence-time interpolation the resc
+            table already holds the law-applied rate (0 at invalid slots, see
+            topk_tables), so this is pure multiplies; with it the law runs
+            in-kernel on the blended per-replica distance."""
+            topd_l, topi_l, resc_l = tables
             if has_interp:
                 tls = tls_out[:]
                 res = frame_time - tls
                 ratio = jnp.where(
                     tls < 0, 1.0, jnp.minimum(res / relax, 1.0)
-                )  # [TR, N]
+                )  # state-shaped
             occ = occ_out[:]
             rates = []
             for k in range(K):
-                r_k = resc[k : k + 1, :]
+                r_k = tslice(resc_l, k)
                 if has_interp:
-                    d_k = topd[k : k + 1, :]  # [1, N]
+                    d_k = tslice(topd_l, k)  # [1, N] rows / [N, 1] cols
                     valid = d_k < f32(1e5)
-                    d_eff = d_k + ratio * (r_k - d_k)  # [TR, N]
+                    d_eff = d_k + ratio * (r_k - d_k)
                     d_safe = jnp.minimum(d_eff, 50.0)
                     omega = jnp.where(valid, _apply_law(kind, d_safe, params), 0.0)
                 else:
@@ -390,9 +438,9 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
             return rates
 
         def ev_iter(tables, post, frame_idx, frame_time, ev):
-            topd, topi, resc = tables
+            topd_l, topi_l, resc_l = tables
             rates = candidate_rates(tables, frame_time)
-            sums = [r.sum(axis=1, keepdims=True) for r in rates]  # K x [TR,1]
+            sums = [sumR(r) for r in rates]  # K x shape1
             total = sums[0]
             for k in range(1, K):
                 total = total + sums[k]
@@ -412,40 +460,48 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
             # then the source column within the slot — ONE [TR, N] draw
             # instead of K Gumbel draws.
             keyA = _mix_key(seed, tile_id, frame_idx, ev, 11)
-            eA = -jnp.log(_u01(keyA, (TR, K)))
-            slot_scores = jnp.concatenate(sums, axis=1) / eA  # [TR, K]
-            kbest = jnp.argmax(slot_scores, axis=1)[:, None]  # [TR, 1] i32
+            eA = -jnp.log(drawK(keyA))
+            slot_scores = catR(sums) / eA  # [TR, K] rows / [K, TR] cols
+            kbest = argR(slot_scores)  # shape1 i32
 
-            row_sel = jnp.zeros((TR, N), f32)
+            row_sel = jnp.zeros((N, TR) if cols else (TR, N), f32)
             for k in range(K):
                 row_sel = row_sel + (kbest == k).astype(f32) * rates[k]
             keyB = _mix_key(seed, tile_id, frame_idx, ev, 12)
-            eB = -jnp.log(_u01(keyB, (TR, N)))
-            src = jnp.argmax(row_sel / eB, axis=1)[:, None]  # [TR, 1]
+            eB = -jnp.log(drawN(keyB))
+            src = argR(row_sel / eB)  # shape1
 
             oh_src = (iota_n == src).astype(f32)
-            # per-slot table values at the source column, as ONE [TR, N] x
-            # [N, 2*KL] MXU one-hot gather against the stacked id|distance
-            # tables (tab_scr, built per frame) instead of 2*K masked [TR, N]
-            # reductions; the slot pick then runs on the tiny [TR, KL] result.
-            # Ids are exact through the MXU (one nonzero product, recovered by
-            # the round below); d_evt only feeds the histogram binning.
-            gtab = jax.lax.dot_general(
-                oh_src, tab_scr[:], (((1,), (1,)), ((), ())),
-                preferred_element_type=f32,
-            )  # [TR, 2*KL]: topi values | topd values at src
+            # per-slot table values at the source column, as ONE MXU one-hot
+            # gather against the stacked id|distance tables (tab_scr, built
+            # per frame) instead of 2*K masked reductions; the slot pick then
+            # runs on the tiny [TR, KL] / [2*KL, TR] result. Ids are exact
+            # through the MXU (one nonzero product, recovered by the round
+            # below); d_evt only feeds the histogram binning.
             kl2 = tab_scr.shape[0] // 2
-            dst_f = jnp.zeros((TR, 1), f32)
-            d_evt = jnp.zeros((TR, 1), f32)
+            if cols:
+                gtab = jax.lax.dot_general(
+                    tab_scr[:], oh_src, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )  # [2*KL, TR]: topi values | topd values at src
+                gsl = lambda q: gtab[q : q + 1, :]
+            else:
+                gtab = jax.lax.dot_general(
+                    oh_src, tab_scr[:], (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32,
+                )  # [TR, 2*KL]
+                gsl = lambda q: gtab[:, q : q + 1]
+            dst_f = jnp.zeros(shape1, f32)
+            d_evt = jnp.zeros(shape1, f32)
             for k in range(K):
                 sel = (kbest == k).astype(f32)
-                dst_f = dst_f + sel * gtab[:, k : k + 1]
-                d_evt = d_evt + sel * gtab[:, kl2 + k : kl2 + k + 1]
+                dst_f = dst_f + sel * gsl(k)
+                d_evt = d_evt + sel * gsl(kl2 + k)
             dst = jnp.round(dst_f).astype(jnp.int32)
             oh_dst = (iota_n == dst).astype(f32)
 
             firef = fire.astype(f32)
-            label = jnp.sum(lab_out[:] * oh_src, axis=1, keepdims=True)
+            label = sumR(lab_out[:] * oh_src)
 
             occ_out[:] = occ_out[:] + firef * (oh_dst - oh_src)
             lab_out[:] = (
@@ -465,29 +521,38 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
 
             movingf = moving.astype(f32)
             db_refs = (dbx_out, dby_out, dbz_out)
-            # coordinate gathers as two [TR, N] x [N, 8] f32 MXU matmuls
-            # against the per-frame coordinate matrix (rows: s_xyz, post_xyz)
-            cdims = (((1,), (1,)), ((), ()))
-            g_src = jax.lax.dot_general(
-                oh_src, coord_scr[:], cdims, preferred_element_type=f32
-            )  # [TR, 8]
-            g_dst = jax.lax.dot_general(
-                oh_dst, coord_scr[:], cdims, preferred_element_type=f32
-            )
+            # coordinate gathers against the per-frame coordinate matrix
+            # (rows: s_xyz, post_xyz) as two f32 MXU matmuls: [TR, N] x
+            # [N, 8] rows-major, [8, N] x [N, TR] cols-major
+            if cols:
+                cdims = (((1,), (0,)), ((), ()))
+                g_src = jax.lax.dot_general(
+                    coord_scr[:], oh_src, cdims, preferred_element_type=f32
+                )  # [8, TR]
+                g_dst = jax.lax.dot_general(
+                    coord_scr[:], oh_dst, cdims, preferred_element_type=f32
+                )
+                csl = lambda g, j: g[j : j + 1, :]
+            else:
+                cdims = (((1,), (1,)), ((), ()))
+                g_src = jax.lax.dot_general(
+                    oh_src, coord_scr[:], cdims, preferred_element_type=f32
+                )  # [TR, 8]
+                g_dst = jax.lax.dot_general(
+                    oh_dst, coord_scr[:], cdims, preferred_element_type=f32
+                )
+                csl = lambda g, j: g[:, j : j + 1]
             jumps = minimg3([
-                g_dst[:, 3 + dim : 4 + dim] - g_src[:, 3 + dim : 4 + dim]
-                for dim in range(3)
+                csl(g_dst, 3 + dim) - csl(g_src, 3 + dim) for dim in range(3)
             ])
             for dim in range(3):
-                s_src = g_src[:, dim : dim + 1]
-                s_dst = g_dst[:, dim : dim + 1]
                 db_refs[dim][:] = db_refs[dim][:] + movingf * (
-                    s_src - s_dst + jumps[dim]
+                    csl(g_src, dim) - csl(g_dst, dim) + jumps[dim]
                 )
 
             # incremental occ[nbr_k] refresh: only src/dst changed occupancy
             for k in range(K):
-                t_k = topi[k : k + 1, :]
+                t_k = tslice(topi_l, k)
                 occn[k][:] = occn[k][:] + firef * (
                     (t_k == dst_f).astype(f32) - (t_k == src.astype(f32)).astype(f32)
                 )
@@ -503,12 +568,13 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
                 ).astype(jnp.int32)
             if track_matrix:
                 jm_out[0] = jm_out[0] + jax.lax.dot_general(
-                    firef * oh_src, oh_dst, (((0,), (0,)), ((), ())),
+                    firef * oh_src, oh_dst,
+                    (((1,), (1,)) if cols else ((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
 
             key3 = _mix_key(seed, tile_id, frame_idx, ev, 3)
-            fresh_u = -jnp.log(_u01(key3, (TR, 1)))
+            fresh_u = -jnp.log(draw1(key3))
             u_out[:] = jnp.where(fire, fresh_u, u)
             evc_out[:] = evc_out[:] + fire.astype(jnp.int32)
             phase_scr[:] = jnp.where(fire, eph, phase)
@@ -516,8 +582,12 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
 
         def frame_body(f, _):
             post = post_ref[f]  # [3, N]
-            tables = (topd_ref[f], topi_ref[f], resc_ref[f])
-            topd, topi, resc = tables
+            topd, topi = topd_ref[f], topi_ref[f]  # [KL, N] (tab_scr source)
+            if cols:
+                tables = (topdt_ref[f], topit_ref[f], resct_ref[f])  # [N, KL]
+            else:
+                tables = (topd, topi, resc_ref[f])
+            topd_l, topi_l, resc_l = tables
 
             d3 = minimg3([
                 post[dim : dim + 1, :] - prev_scr[dim : dim + 1, :]
@@ -543,51 +613,95 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
             # produce bit-identical occ[nbr] states (VERDICT r2 #2).
             mode = mode_ref[f]
 
-            @pl.when(jnp.logical_or(mode == 2, f == 0))
-            def _full_refresh():
-                # Column-chunked so the one-hot temporaries stay [N, CB]-sized
-                # — at supercell N a full [N, N] intermediate (85 MB at
-                # N=4608) would spill past VMEM.
-                occ = occ_out[:]
-                CB = min(N, 512)
-                for k in range(K):
-                    t_k = topi[k : k + 1, :].astype(jnp.int32)  # [1, N]
-                    for c0 in range(0, N, CB):
-                        cb = min(CB, N - c0)
-                        g_c = (
-                            jax.lax.broadcasted_iota(jnp.int32, (N, cb), 0)
-                            == t_k[:, c0 : c0 + cb]
-                        ).astype(f32)  # [N, cb]
-                        occn[k][:, c0 : c0 + cb] = jax.lax.dot_general(
-                            occ, g_c, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )
+            if cols:
+                @pl.when(jnp.logical_or(mode == 2, f == 0))
+                def _full_refresh():
+                    # Row-chunked so the one-hot temporaries stay [CB, N]
+                    # (cols is gated to small N, but keep the same bound)
+                    occ = occ_out[:]  # [N, TR]
+                    CB = min(N, 512)
+                    for k in range(K):
+                        t_k = topi_l[:, k : k + 1].astype(jnp.int32)  # [N, 1]
+                        for c0 in range(0, N, CB):
+                            cb = min(CB, N - c0)
+                            g_c = (
+                                jax.lax.broadcasted_iota(jnp.int32, (cb, N), 1)
+                                == t_k[c0 : c0 + cb, :]
+                            ).astype(f32)  # [cb, N]: row i one-hot at t_k[i]
+                            occn[k][c0 : c0 + cb, :] = jax.lax.dot_general(
+                                g_c, occ, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
 
-            @pl.when(jnp.logical_and(mode == 1, f > 0))
-            def _delta_refresh():
-                ci_row = ci_ref[f]  # [1, C] i32, padded with N
-                cn = cnbr_ref[f]  # [KL, C] i32, padded with N
-                keep = 1.0 - chg_ref[f]  # [1, N]
-                iota_nc = jax.lax.broadcasted_iota(jnp.int32, (N, C), 0)
-                s_t = (iota_nc == ci_row).astype(f32)  # [N, C] scatter map
-                occ = occ_out[:]
-                for k in range(K):
-                    g_k = (iota_nc == cn[k : k + 1, :]).astype(f32)  # [N, C]
-                    delta_c = jax.lax.dot_general(
-                        occ, g_k, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # [TR, C] = occ at the new ids of changed columns
-                    back = jax.lax.dot_general(
-                        delta_c, s_t, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # [TR, N], zero at unchanged columns
-                    occn[k][:] = occn[k][:] * keep + back
+                @pl.when(jnp.logical_and(mode == 1, f > 0))
+                def _delta_refresh():
+                    ci_row = ci_ref[f]  # [1, C] i32, padded with N
+                    cn_t = cnbr_ref[f]  # [C, KL] i32, padded with N
+                    iota_cn = jax.lax.broadcasted_iota(jnp.int32, (C, N), 1)
+                    iota_nc = jax.lax.broadcasted_iota(jnp.int32, (N, C), 0)
+                    s_m = (iota_nc == ci_row).astype(f32)  # [N, C] scatter map
+                    # row mask of changed columns, derived from the scatter
+                    # map (ci entries are unique) — replaces the rows path's
+                    # chg input, whose [B, N, 1] transpose would lane-pad 128x
+                    keep = 1.0 - jnp.sum(s_m, axis=1, keepdims=True)  # [N, 1]
+                    occ = occ_out[:]
+                    for k in range(K):
+                        g_k = (iota_cn == cn_t[:, k : k + 1]).astype(f32)
+                        delta_c = jax.lax.dot_general(
+                            g_k, occ, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # [C, TR] = occ at the new ids of changed columns
+                        back = jax.lax.dot_general(
+                            s_m, delta_c, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # [N, TR], zero at unchanged columns
+                        occn[k][:] = occn[k][:] * keep + back
+            else:
+                @pl.when(jnp.logical_or(mode == 2, f == 0))
+                def _full_refresh():
+                    # Column-chunked so the one-hot temporaries stay [N, CB]
+                    # — at supercell N a full [N, N] intermediate (85 MB at
+                    # N=4608) would spill past VMEM.
+                    occ = occ_out[:]
+                    CB = min(N, 512)
+                    for k in range(K):
+                        t_k = topi[k : k + 1, :].astype(jnp.int32)  # [1, N]
+                        for c0 in range(0, N, CB):
+                            cb = min(CB, N - c0)
+                            g_c = (
+                                jax.lax.broadcasted_iota(jnp.int32, (N, cb), 0)
+                                == t_k[:, c0 : c0 + cb]
+                            ).astype(f32)  # [N, cb]
+                            occn[k][:, c0 : c0 + cb] = jax.lax.dot_general(
+                                occ, g_c, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+
+                @pl.when(jnp.logical_and(mode == 1, f > 0))
+                def _delta_refresh():
+                    ci_row = ci_ref[f]  # [1, C] i32, padded with N
+                    cn = cnbr_ref[f]  # [KL, C] i32, padded with N
+                    keep = 1.0 - chg_ref[f]  # [1, N]
+                    iota_nc = jax.lax.broadcasted_iota(jnp.int32, (N, C), 0)
+                    s_t = (iota_nc == ci_row).astype(f32)  # [N, C] scatter map
+                    occ = occ_out[:]
+                    for k in range(K):
+                        g_k = (iota_nc == cn[k : k + 1, :]).astype(f32)  # [N, C]
+                        delta_c = jax.lax.dot_general(
+                            occ, g_k, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # [TR, C] = occ at the new ids of changed columns
+                        back = jax.lax.dot_general(
+                            delta_c, s_t, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # [TR, N], zero at unchanged columns
+                        occn[k][:] = occn[k][:] * keep + back
 
             frame_idx = frame0 + f
             frame_time = frame_idx.astype(f32) * f32(dt)
 
-            phase_scr[:] = jnp.zeros((TR, 1), f32)
-            done_scr[:] = jnp.zeros((TR, 1), jnp.bool_)
+            phase_scr[:] = jnp.zeros(shape1, f32)
+            done_scr[:] = jnp.zeros(shape1, jnp.bool_)
 
             ev_iter(tables, post, frame_idx, frame_time, 0)
             for ev in range(1, max_events):
@@ -608,27 +722,25 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
                 # post-event state (engine/lattice.py:339-356)
                 rates = candidate_rates(tables, frame_time)
                 for k in range(K):
-                    d_k = topd[k : k + 1, :]
+                    d_k = tslice(topd_l, k)  # [1, N] rows / [N, 1] cols
                     inr = jnp.logical_and(d_k >= hist_lo, d_k < hist_hi)
                     braw = jnp.clip(
                         ((d_k - hist_lo) * f32(hist_scale)).astype(jnp.int32),
                         0, nbins - 1,
-                    )  # [1, N]
+                    )
                     w = jnp.where(
                         jnp.logical_and(rates[k] > 0, inr), 1.0, 0.0
-                    )  # [TR, N]
+                    )  # state-shaped
                     for b in range(nbins):
-                        val = jnp.sum(
-                            jnp.where(braw == b, w, 0.0), axis=1, keepdims=True
-                        )
+                        val = sumR(jnp.where(braw == b, w, 0.0))
                         expo_out[:] = expo_out[:] + jnp.where(
                             iota_b == b, val, 0.0
                         )
 
             rates = candidate_rates(tables, frame_time)
-            total = rates[0].sum(axis=1, keepdims=True)
+            total = sumR(rates[0])
             for k in range(1, K):
-                total = total + rates[k].sum(axis=1, keepdims=True)
+                total = total + sumR(rates[k])
             u_out[:] = u_out[:] - total * (f32(dt) - phase_scr[:])
             return 0
 
@@ -651,6 +763,7 @@ def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
     static_argnames=(
         "kind", "k_cand", "tile", "max_events", "dt", "seed", "has_interp",
         "interpret", "nbins", "hist_range", "track_matrix", "orthorhombic",
+        "layout",
     ),
 )
 def topk_sweep(
@@ -670,15 +783,19 @@ def topk_sweep(
     kind: int, k_cand: int, tile: int, max_events: int, dt: float, seed: int,
     has_interp: bool, interpret: bool = False, nbins: int = 0,
     hist_range: tuple = (2.0, 3.0), track_matrix: bool = False,
-    orthorhombic: bool = True,
+    orthorhombic: bool = True, layout: str = "rows",
 ):
     """Run the fused top-K sweep over a block; returns the same dict as
-    ops.kmc_sweep.kmc_sweep plus ``tlast_site``."""
+    ops.kmc_sweep.kmc_sweep plus ``tlast_site``. All inputs/outputs are
+    rows-oriented ([R, ...]) regardless of ``layout`` — the cols relayout
+    (and its inverse) happens here, in XLA, where a [R, N]-sized transpose
+    costs microseconds per block."""
     B, N, _ = positions.shape
     R = occ.shape[0]
     P = sites.shape[1]
     TR = tile
     C = ci.shape[-1]
+    cols = layout == "cols"
     assert R % TR == 0, (R, TR)
     grid = (R // TR,)
     n_tiles = R // TR
@@ -687,7 +804,7 @@ def topk_sweep(
         n_sites=N, n_protons=P, tile=TR, block=B, max_events=max_events,
         kind=kind, k_cand=k_cand, dt=dt, seed=seed, has_interp=has_interp,
         nbins=nbins, hist_range=hist_range, track_matrix=track_matrix,
-        orthorhombic=orthorhombic, cmax=C,
+        orthorhombic=orthorhombic, cmax=C, cols=cols,
     )
 
     box = jnp.concatenate([
@@ -700,6 +817,11 @@ def topk_sweep(
     post = jnp.swapaxes(jnp.asarray(positions, jnp.float32), 1, 2)
 
     def rep_spec(*shape):
+        if cols:
+            return pl.BlockSpec(
+                (*shape, TR), lambda r: (0,) * len(shape) + (r,),
+                memory_space=pltpu.VMEM,
+            )
         return pl.BlockSpec(
             (TR, *shape), lambda r: (r,) + (0,) * len(shape),
             memory_space=pltpu.VMEM,
@@ -708,50 +830,70 @@ def topk_sweep(
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    dbx = disp_base[..., 0]
-    dby = disp_base[..., 1]
-    dbz = disp_base[..., 2]
+    # state orientation: [R, ...] rows / [..., R] cols
+    st = (lambda x: x.T) if cols else (lambda x: x)
+    s1 = (lambda x: x.reshape(1, R)) if cols else (lambda x: x.reshape(R, 1))
+
+    dbx = st(disp_base[..., 0])
+    dby = st(disp_base[..., 1])
+    dbz = st(disp_base[..., 2])
 
     inputs = [
         box, ints, mode.astype(jnp.int32),
         jnp.asarray(law_params, jnp.float32),
-        post, topd, topi, resc,
-        ci.astype(jnp.int32), cnbr.astype(jnp.int32),
-        jnp.asarray(chg, jnp.float32),
+        post, topd, topi,
+    ]
+    in_specs = [smem(), smem(), smem(), smem(), full(), full(), full()]
+    if cols:
+        inputs += [
+            jnp.swapaxes(topd, 1, 2), jnp.swapaxes(topi, 1, 2),
+            jnp.swapaxes(resc, 1, 2),
+            ci.astype(jnp.int32),
+            jnp.swapaxes(cnbr.astype(jnp.int32), 1, 2),
+        ]
+        in_specs += [full()] * 5
+    else:
+        inputs += [
+            resc, ci.astype(jnp.int32), cnbr.astype(jnp.int32),
+            jnp.asarray(chg, jnp.float32),
+        ]
+        in_specs += [full()] * 4
+    inputs += [
         jnp.asarray(prev_pos, jnp.float32).T,
         jnp.asarray(site_disp, jnp.float32).T,
-        occ, labels, sites.astype(jnp.int32), tlast,
-        jnp.asarray(tlast_site, jnp.float32),
+        st(occ), st(labels), st(sites.astype(jnp.int32)), st(tlast),
+        st(jnp.asarray(tlast_site, jnp.float32)),
         dbx, dby, dbz,
-        u_rem.reshape(R, 1), ev_count.reshape(R, 1).astype(jnp.int32),
+        s1(u_rem), s1(ev_count.astype(jnp.int32)),
     ]
-    in_specs = [
-        smem(), smem(), smem(), smem(),
-        full(), full(), full(), full(),
-        full(), full(), full(),
+    in_specs += [
         full(), full(),
         rep_spec(N), rep_spec(N), rep_spec(P), rep_spec(P),
         rep_spec(N),
         rep_spec(P), rep_spec(P), rep_spec(P), rep_spec(1), rep_spec(1),
     ]
     if nbins:
-        inputs += [jump_hist.astype(jnp.int32), exposure.astype(jnp.float32)]
+        inputs += [st(jump_hist.astype(jnp.int32)),
+                   st(exposure.astype(jnp.float32))]
         in_specs += [rep_spec(nbins), rep_spec(nbins)]
 
+    def shp(*s):
+        return (*s, R) if cols else (R, *s)
+
     out_shapes = [
-        jax.ShapeDtypeStruct((R, N), jnp.float32),   # occ
-        jax.ShapeDtypeStruct((R, N), jnp.float32),   # labels
-        jax.ShapeDtypeStruct((R, P), jnp.int32),     # sites
-        jax.ShapeDtypeStruct((R, P), jnp.float32),   # tlast
-        jax.ShapeDtypeStruct((R, N), jnp.float32),   # tlast_site
-        jax.ShapeDtypeStruct((R, P), jnp.float32),   # dbx
-        jax.ShapeDtypeStruct((R, P), jnp.float32),   # dby
-        jax.ShapeDtypeStruct((R, P), jnp.float32),   # dbz
-        jax.ShapeDtypeStruct((R, 1), jnp.float32),   # u
-        jax.ShapeDtypeStruct((R, 1), jnp.int32),     # evc
+        jax.ShapeDtypeStruct(shp(N), jnp.float32),   # occ
+        jax.ShapeDtypeStruct(shp(N), jnp.float32),   # labels
+        jax.ShapeDtypeStruct(shp(P), jnp.int32),     # sites
+        jax.ShapeDtypeStruct(shp(P), jnp.float32),   # tlast
+        jax.ShapeDtypeStruct(shp(N), jnp.float32),   # tlast_site
+        jax.ShapeDtypeStruct(shp(P), jnp.float32),   # dbx
+        jax.ShapeDtypeStruct(shp(P), jnp.float32),   # dby
+        jax.ShapeDtypeStruct(shp(P), jnp.float32),   # dbz
+        jax.ShapeDtypeStruct(shp(1), jnp.float32),   # u
+        jax.ShapeDtypeStruct(shp(1), jnp.int32),     # evc
         jax.ShapeDtypeStruct((3, N), jnp.float32),   # site_disp
         jax.ShapeDtypeStruct((3, N), jnp.float32),   # prev
-        jax.ShapeDtypeStruct((R, 1), jnp.int32),     # trunc
+        jax.ShapeDtypeStruct(shp(1), jnp.int32),     # trunc
     ]
     out_specs = [
         rep_spec(N), rep_spec(N), rep_spec(P), rep_spec(P), rep_spec(N),
@@ -760,8 +902,8 @@ def topk_sweep(
     ]
     if nbins:
         out_shapes += [
-            jax.ShapeDtypeStruct((R, nbins), jnp.int32),
-            jax.ShapeDtypeStruct((R, nbins), jnp.float32),
+            jax.ShapeDtypeStruct(shp(nbins), jnp.int32),
+            jax.ShapeDtypeStruct(shp(nbins), jnp.float32),
         ]
         out_specs += [rep_spec(nbins), rep_spec(nbins)]
     if track_matrix:
@@ -770,25 +912,28 @@ def topk_sweep(
             pl.BlockSpec((1, N, N), lambda r: (r, 0, 0), memory_space=pltpu.VMEM)
         )
 
-    # aliases: inputs 11..22 (prev, s0, occ..evc incl. tls) onto their outputs
-    aliases = {
-        11: 11,  # prev -> prev_out
-        12: 10,  # s0 -> s_out
-        13: 0, 14: 1, 15: 2, 16: 3, 17: 4,  # occ, lab, site, tlast, tls
-        18: 5, 19: 6, 20: 7, 21: 8, 22: 9,  # dbx, dby, dbz, u, evc
-    }
+    # aliases: prev/s0 and every replica-state input onto its output (the
+    # input list shifts by one between layouts: cols swaps {resc, chg} for
+    # the three transposed tables)
+    base = 12 if cols else 11
+    aliases = {base: 11, base + 1: 10}
+    for i in range(10):
+        aliases[base + 2 + i] = i
     if nbins:
-        aliases[23] = 13
-        aliases[24] = 14
+        aliases[base + 12] = 13
+        aliases[base + 13] = 14
 
     scratch = [
         pltpu.VMEM((3, N), jnp.float32),  # s_scr
         pltpu.VMEM((3, N), jnp.float32),  # prev_scr
-        pltpu.VMEM((TR, 1), jnp.float32),  # phase
-        pltpu.VMEM((TR, 1), jnp.bool_),  # done
+        pltpu.VMEM((1, TR) if cols else (TR, 1), jnp.float32),  # phase
+        pltpu.VMEM((1, TR) if cols else (TR, 1), jnp.bool_),  # done
         pltpu.VMEM((8, N), jnp.float32),  # coord_scr
         pltpu.VMEM((2 * topd.shape[1], N), jnp.float32),  # tab_scr
-    ] + [pltpu.VMEM((TR, N), jnp.float32) for _ in range(k_cand)]  # occn
+    ] + [
+        pltpu.VMEM((N, TR) if cols else (TR, N), jnp.float32)
+        for _ in range(k_cand)
+    ]  # occn
 
     # the resident [B, KL, N] candidate tables blow Mosaic's default 16 MB
     # scoped-VMEM cap at supercell N / long blocks — raise it to the estimate
@@ -797,7 +942,7 @@ def topk_sweep(
     kl = topd.shape[1]
     vmem = vmem_estimate(
         n_sites=N, n_protons=P, tile=TR, block=B, kl=kl, cmax=C,
-        k_cand=k_cand, nbins=nbins, track_matrix=track_matrix,
+        k_cand=k_cand, nbins=nbins, track_matrix=track_matrix, cols=cols,
     )
     if not interpret and vmem > HW_VMEM_BYTES:
         raise ValueError(
@@ -823,6 +968,11 @@ def topk_sweep(
 
     (occ2, lab2, sites2, tlast2, tls2, dbx2, dby2, dbz2, u2, evc2, s2, prev2,
      trunc2) = res[:13]
+    if cols:
+        occ2, lab2, sites2, tlast2, tls2 = (
+            occ2.T, lab2.T, sites2.T, tlast2.T, tls2.T
+        )
+        dbx2, dby2, dbz2 = dbx2.T, dby2.T, dbz2.T
     out = {
         "occ": occ2,
         "labels": lab2,
@@ -838,8 +988,8 @@ def topk_sweep(
     }
     idx = 13
     if nbins:
-        out["jump_hist"] = res[idx]
-        out["exposure"] = res[idx + 1]
+        out["jump_hist"] = res[idx].T if cols else res[idx]
+        out["exposure"] = res[idx + 1].T if cols else res[idx + 1]
         idx += 2
     if track_matrix:
         out["jump_matrix"] = res[idx].sum(axis=0)
@@ -877,9 +1027,15 @@ _NC_BUDGET = 36 << 20  # delta-refresh [N, cmax] one-hot temporaries (N=4608 def
 
 
 def _tr_state_bytes(n_sites: int, n_protons: int, tile: int,
-                    k_cand: int) -> int:
+                    k_cand: int, cols: bool = False) -> int:
     from cmdlmc_tpu.ops.vmem_budget import padded_bytes as padded
 
+    if cols:
+        return (
+            (6 + k_cand) * padded(n_sites, tile)
+            + 10 * padded(n_protons, tile)
+            + 7 * padded(1, tile)
+        )
     return (
         (6 + k_cand) * padded(tile, n_sites)  # occ/labels/tls in+out, occn
         + 10 * padded(tile, n_protons)
@@ -887,32 +1043,42 @@ def _tr_state_bytes(n_sites: int, n_protons: int, tile: int,
     )
 
 
-def _resident_bytes(n_sites: int, block: int, kl: int) -> int:
+def _resident_bytes(n_sites: int, block: int, kl: int,
+                    cols: bool = False) -> int:
     from cmdlmc_tpu.ops.vmem_budget import padded_bytes as padded
 
-    # post + topd/topi/resc + chg, all [B, ., N] and resident across the grid
-    return padded(block, 3, n_sites) + 3 * padded(block, kl, n_sites) \
-        + padded(block, 1, n_sites)
+    # post + topd/topi/resc [+ chg], all [B, ., N] and resident across the
+    # grid; cols adds the three [B, N, KL] transposed tables (KL lane-pads
+    # to 128, so these dominate the cols residency) and drops chg
+    base = padded(block, 3, n_sites) + 2 * padded(block, kl, n_sites)
+    if cols:
+        return base + 3 * padded(block, n_sites, kl)
+    return base + padded(block, kl, n_sites) + padded(block, 1, n_sites)
 
 
 def vmem_estimate(*, n_sites: int, n_protons: int, tile: int, block: int,
                   kl: int, cmax: int, k_cand: int, nbins: int,
-                  track_matrix: bool) -> int:
+                  track_matrix: bool, cols: bool = False) -> int:
     """Total VMEM footprint of one :func:`topk_sweep` grid step in bytes:
     the block-resident candidate tables plus the per-tile event-loop state
     and scratch (same accounting the compiler budget is derived from)."""
     from cmdlmc_tpu.ops.vmem_budget import padded_bytes as padded
 
     N, C = n_sites, cmax
-    vmem = _resident_bytes(N, block, kl)
-    # change-metadata tables + the delta path's [N, C] one-hot temporaries
-    vmem += padded(block, 1, C) + padded(block, kl, C)
-    vmem += 3 * padded(N, C)
-    vmem += _tr_state_bytes(N, n_protons, tile, k_cand)
+    vmem = _resident_bytes(N, block, kl, cols)
+    # change-metadata tables + the delta path's one-hot temporaries
+    vmem += padded(block, 1, C)
+    if cols:
+        vmem += padded(block, C, kl)
+        vmem += padded(C, N) + padded(N, C) + padded(C, tile)
+    else:
+        vmem += padded(block, kl, C)
+        vmem += 3 * padded(N, C)
+    vmem += _tr_state_bytes(N, n_protons, tile, k_cand, cols)
     vmem += 6 * padded(3, N) + padded(8, N)
     vmem += padded(2 * kl, N)  # tab_scr
     if nbins:
-        vmem += 4 * padded(tile, nbins)
+        vmem += 4 * (padded(nbins, tile) if cols else padded(tile, nbins))
     if track_matrix:
         vmem += padded(N, N)
     return vmem
@@ -920,17 +1086,23 @@ def vmem_estimate(*, n_sites: int, n_protons: int, tile: int, block: int,
 
 def pick_tile_topk(n_replicas: int, *, n_sites: int, n_protons: int,
                    block: int, k_cand: int, nbins: int, track_matrix: bool,
-                   target: int = 128) -> int:
+                   target: int | None = None, cols: bool = False) -> int:
     """Largest replica tile (divisor of R, <= target) whose tile-linear
     event-loop state fits the empirical scoped-stack budget — replaces the
     site-count thresholds of :func:`engine.fused.pick_tile` for the top-K
-    path. Block length is handled separately (:func:`pick_frame_chunk`)."""
+    path. Block length is handled separately (:func:`pick_frame_chunk`).
+    Cols targets TR=256: replicas are the lane axis there, and two lane-cols
+    per op amortize fixed per-op overhead (measured N=144/k=8 v5e: 2.63 G at
+    TR=256 vs 2.33 at 128; rows regresses past 128)."""
     del block, nbins, track_matrix  # bounded by the frame-chunk policy
+    if target is None:
+        target = 256 if cols else 128
     kc = min(k_cand, n_sites - 1)
     t = min(target, n_replicas)
     while n_replicas % t:
         t -= 1
-    while t > 8 and _tr_state_bytes(n_sites, n_protons, t, kc) > _TR_STATE_BUDGET:
+    while t > 8 and _tr_state_bytes(n_sites, n_protons, t, kc,
+                                    cols) > _TR_STATE_BUDGET:
         nt = t // 2
         while n_replicas % nt:
             nt -= 1
@@ -938,16 +1110,29 @@ def pick_tile_topk(n_replicas: int, *, n_sites: int, n_protons: int,
     return t
 
 
-def pick_frame_chunk(n_frames: int, n_sites: int, k_cand: int) -> int:
+def pick_frame_chunk(n_frames: int, n_sites: int, k_cand: int,
+                     cols: bool = False) -> int:
     """Largest frame sub-block whose resident candidate tables fit the
     empirical budget. Chunking a block is bit-exact: RNG draws are keyed by
     global frame and event ordinal, and every chunk entry does a full
     occ[nbr] refresh, which is identical to the delta-maintained state."""
     kl = _pad_k(min(k_cand, n_sites - 1))
     b = n_frames
-    while b > 1 and _resident_bytes(n_sites, b, kl) > _RESIDENT_BUDGET:
+    while b > 1 and _resident_bytes(n_sites, b, kl, cols) > _RESIDENT_BUDGET:
         b = (b + 1) // 2
     return b
+
+
+def pick_layout_topk(n_sites: int, interpret: bool) -> str:
+    """Top-K kernel state layout: sites-major "cols" whenever N is not a
+    multiple of 128 (same rule as engine.fused.pick_layout) — at the
+    supercell sizes where the top-K kernel is the only fit (N = 4608, 9216)
+    N divides 128 and rows has no lane padding, while the small-N top-K /
+    hydronium configs (N = 144, 216) pay 44%+ dead lanes rows-major.
+    Interpret/CPU keeps rows, the exactness-oracle layout."""
+    if interpret or n_sites % 128 == 0:
+        return "rows"
+    return "cols"
 
 
 def default_cmax(n_sites: int) -> int:
@@ -981,11 +1166,13 @@ def run_block_topk(
     tile_offset=0,
     hist_range: tuple = (2.0, 3.0),
     cmax: int | None = None,
+    layout: str | None = None,
 ):
     """EnsembleState adapter: stage-1 XLA tables + stage-2 Pallas sweep.
     Returns the kmc_sweep-style output dict. ``cmax < 0`` disables the
     incremental occ[nbr] maintenance (full per-frame refresh — the exactness
-    oracle; results are bit-identical either way)."""
+    oracle; results are bit-identical either way). ``layout=None`` auto-picks
+    via :func:`pick_layout_topk`."""
     rep = ens.replicas
     nbins = rep.jump_hist.shape[-1]
     track_matrix = rep.jump_matrix.shape[-1] != 0
@@ -997,6 +1184,8 @@ def run_block_topk(
         relax = jnp.float32(model.interpolator.relaxation_time)
     if cmax is None:
         cmax = default_cmax(positions.shape[1])
+    if layout is None:
+        layout = pick_layout_topk(positions.shape[1], bool(interpret))
     topd, topi, resc, ci, cnbr, chg, mode = topk_tables_delta(
         model, positions, _pad_k(k_cand), not has_interp, cmax
     )
@@ -1035,4 +1224,5 @@ def run_block_topk(
         hist_range=tuple(hist_range),
         track_matrix=track_matrix,
         orthorhombic=bool(model.cell.orthorhombic),
+        layout=layout,
     )

@@ -33,6 +33,8 @@ ap.add_argument("--protons", type=int, default=96)
 ap.add_argument("--block-frames", type=int, default=256)
 ap.add_argument("--blocks", type=int, default=8)
 ap.add_argument("--tile", type=int, default=128)
+ap.add_argument("--layout", default=None,
+                help="force kernel state layout: rows | cols (default auto)")
 ap.add_argument("--only", default=None, help="comma list of variant names")
 args = ap.parse_args()
 if args.platform:
@@ -114,6 +116,7 @@ for name, model, opts in variants():
             extras_positions=eblocks[k] if extras else None,
             hist_range=(2.0, 3.0),
             streamed=opts.get("streamed"),
+            layout=args.layout,
         )
 
     t0 = time.perf_counter()

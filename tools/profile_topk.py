@@ -20,6 +20,7 @@ ap.add_argument("--blocks", type=int, default=4)
 ap.add_argument("--tile", type=int, default=128)
 ap.add_argument("--k", type=int, default=8)
 ap.add_argument("--max-events", type=int, default=4)
+ap.add_argument("--layout", default="rows", help="kernel state layout")
 ap.add_argument("--drift", type=float, default=None,
                 help="random-walk step scale per frame (MD-like temporal correlation) instead of independent jitter")
 args = ap.parse_args()
@@ -100,6 +101,7 @@ def step(state, frame0):
         u, evc, params, jnp.int32(frame0), model.cell.h, model.cell.h_inv, 0,
         kind=0, k_cand=args.k, tile=args.tile, max_events=args.max_events,
         dt=0.5, seed=3, has_interp=False, interpret=jax.default_backend() != "tpu",
+        layout=args.layout,
     )
     return (out["occ"], out["labels"], out["sites"], out["tlast"],
             out["tlast_site"], out["disp_base"], out["u_rem"], out["ev_count"],
