@@ -365,6 +365,7 @@ class Simulation:
         resume_frame = 0
         blocks_done = 0
         last_frame_done = 0
+        last_ckpt_frame = -1
         mesh = self._resolve_mesh()
 
         if ckpt_path:
@@ -563,6 +564,7 @@ class Simulation:
                 ckpt_writer.save(
                     states, keys, block_end_idx, meta=self._ckpt_meta()
                 )
+                last_ckpt_frame = block_end_idx
             if not use_fused:
                 for i in range(block.n_frames):
                     frame_no = int(rows.frame[i])
@@ -584,7 +586,10 @@ class Simulation:
             yield from self._emit_fused(self._fused_stats_pending)
             self._fused_stats_pending = None
         self.final_states = states
-        if ckpt_path and states is not None and blocks_done > 0:
+        if (ckpt_path and states is not None and blocks_done > 0
+                and last_frame_done != last_ckpt_frame):
+            # skip when the last block already checkpointed this exact frame
+            # (a full state fetch + write for a byte-identical file)
             ckpt_writer.save(states, keys, last_frame_done,
                              meta=self._ckpt_meta())
         if ckpt_writer is not None:
@@ -705,6 +710,7 @@ class Simulation:
         resume_frame = 0
         blocks_done = 0
         last_frame_done = 0
+        last_ckpt_frame = -1
         use_fused = None
 
         if ckpt_path:
@@ -849,8 +855,10 @@ class Simulation:
                 ckpt_writer.save(
                     states, keys, block_end_idx, meta=self._ckpt_meta()
                 )
+                last_ckpt_frame = block_end_idx
         self.final_states = states
-        if ckpt_path and states is not None and blocks_done > 0:
+        if (ckpt_path and states is not None and blocks_done > 0
+                and last_frame_done != last_ckpt_frame):
             ckpt_writer.save(states, keys, last_frame_done,
                              meta=self._ckpt_meta())
         if ckpt_writer is not None:

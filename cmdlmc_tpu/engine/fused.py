@@ -426,6 +426,36 @@ def run_block_fused_sharded(
     kind = ks.law_kind(model.law)
     track_matrix = rep0.jump_matrix.shape[-1] != 0
     if isinstance(model, (TopKPairRates, HydroniumRates)):
+        from cmdlmc_tpu.ops import topk_sweep as ts
+
+        if layout is None:
+            layout = ts.pick_layout_topk(
+                rep0.occ.shape[1],
+                bool(interpret if interpret is not None
+                     else jax.default_backend() != "tpu"),
+            )
+        # same bit-exact frame sub-chunking as the single-device path: the
+        # block-resident candidate tables (lane-padded [B, N, KL] under the
+        # cols layout) must fit VMEM here too, not only when run_block_fused
+        # dispatches the kernel directly
+        B = frames_positions.shape[0]
+        chunk = ts.pick_frame_chunk(
+            B, rep0.occ.shape[1], int(model.k), layout == "cols"
+        )
+        if chunk < B:
+            trunc_total = None
+            for s in range(0, B, chunk):
+                e = min(s + chunk, B)
+                ens, trunc = run_block_fused_sharded(
+                    model, cell, ens, frames_positions[s:e], frame0 + s,
+                    mesh, axis=axis, dt=dt, max_events=max_events, seed=seed,
+                    tile=tile, interpret=interpret, hist_range=hist_range,
+                    return_truncation=True, layout=layout,
+                )
+                trunc_total = (
+                    trunc if trunc_total is None else trunc_total + trunc
+                )
+            return (ens, trunc_total) if return_truncation else ens
         return _run_sharded_topk(
             model, cell, ens, frames_positions, frame0, mesh,
             axis=axis, dt=dt, max_events=max_events, seed=seed, tile=tile,

@@ -1124,15 +1124,15 @@ def pick_frame_chunk(n_frames: int, n_sites: int, k_cand: int,
 
 
 def pick_layout_topk(n_sites: int, interpret: bool) -> str:
-    """Top-K kernel state layout: sites-major "cols" whenever N is not a
-    multiple of 128 (same rule as engine.fused.pick_layout) — at the
-    supercell sizes where the top-K kernel is the only fit (N = 4608, 9216)
-    N divides 128 and rows has no lane padding, while the small-N top-K /
-    hydronium configs (N = 144, 216) pay 44%+ dead lanes rows-major.
-    Interpret/CPU keeps rows, the exactness-oracle layout."""
-    if interpret or n_sites % 128 == 0:
-        return "rows"
-    return "cols"
+    """Top-K kernel state layout: ONE rule shared with the dense streamed
+    kernel (engine.fused.pick_layout — sites-major "cols" whenever N is not
+    a multiple of 128, rows in interpret). At the supercell sizes where the
+    top-K kernel is the only fit (N = 4608, 9216) N divides 128 and rows has
+    no lane padding, while the small-N top-K / hydronium configs
+    (N = 144, 216) pay 44%+ dead lanes rows-major."""
+    from cmdlmc_tpu.engine.fused import pick_layout
+
+    return pick_layout(n_sites, interpret)
 
 
 def default_cmax(n_sites: int) -> int:

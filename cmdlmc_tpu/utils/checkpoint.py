@@ -84,6 +84,13 @@ class CheckpointWriter:
     Only one write is in flight: a new ``save()`` first joins the previous
     one (at checkpoint cadence the previous write has long finished).
     ``close()`` must be called before the run is declared complete.
+
+    The worker is a NON-daemon thread: a dispatched save always lands, even
+    when the driver generator is abandoned or an exception unwinds before
+    ``close()`` — the interpreter joins it at shutdown, preserving the
+    crash-recovery property the synchronous writer had (write failures in
+    that window are logged immediately and re-raised on the next
+    ``save()``/``close()`` if one happens).
     """
 
     def __init__(self, path: str, compress: bool = False):
@@ -97,13 +104,18 @@ class CheckpointWriter:
             save_checkpoint(self.path, states, keys, next_frame,
                             meta=meta, compress=self.compress)
         except BaseException as e:  # surfaced on the next save()/close()
+            import logging
+
+            logging.getLogger(__name__).exception(
+                "checkpoint write to %s failed", self.path
+            )
             self._error = e
 
     def save(self, states, keys, next_frame: int, meta: dict | None = None):
         self.wait()
         self._thread = threading.Thread(
             target=self._run, args=(states, keys, next_frame, meta),
-            name="ckpt-writer", daemon=True,
+            name="ckpt-writer", daemon=False,
         )
         self._thread.start()
 

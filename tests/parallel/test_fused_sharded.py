@@ -160,6 +160,55 @@ def test_sharded_topk_matches_single_device():
     )
 
 
+def test_sharded_topk_frame_chunking_matches_single_device(monkeypatch):
+    """When the block-resident candidate tables exceed the VMEM budget, the
+    sharded top-K route must sub-chunk frames exactly like the single-device
+    path (bit-exact: RNG keyed by global frame/event, full occ[nbr] refresh
+    at every chunk entry) instead of dispatching the whole block."""
+    from cmdlmc_tpu.ops import topk_sweep as ts
+    from cmdlmc_tpu.parallel.mesh import shard_ensemble
+    from cmdlmc_tpu.topo.models import TopKPairRates
+
+    assert len(jax.devices()) == 8
+    mesh = replica_mesh()
+    R, N, P, F, tile = 32, 12, 4, 40, 4
+    rng = np.random.RandomState(4)
+    positions = rng.uniform(0, 8, size=(N, 3)).astype(np.float32)
+    frames = (positions[None] + rng.normal(scale=0.03, size=(F, N, 3))).astype(
+        np.float32
+    )
+    cell = Cell.cubic([9.0, 9.0, 9.0])
+    model = TopKPairRates(
+        cell=cell, law=Fermi(a=jnp.float32(0.08), b=jnp.float32(2.8),
+                             c=jnp.float32(0.3)),
+        cutoff=jnp.float32(3.0), buffer=jnp.float32(1.5), k=6,
+    )
+    # shrink the budget so this tiny block genuinely chunks on both paths
+    budget = ts._resident_bytes(N, 16, ts._pad_k(6), cols=True)
+    monkeypatch.setattr(ts, "_RESIDENT_BUDGET", budget)
+    assert ts.pick_frame_chunk(F, N, 6, cols=True) < F
+
+    key = jax.random.key(5)
+    ens = eng.init_replicas(jax.random.fold_in(key, 0), R, N, P,
+                            jnp.asarray(positions))
+    single = fused.run_block_fused(
+        model, cell, ens, jnp.asarray(frames), 0, dt=0.5, seed=11, tile=tile,
+        interpret=True, layout="cols",
+    )
+    sharded = fused.run_block_fused_sharded(
+        model, cell, shard_ensemble(ens, mesh), jnp.asarray(frames), 0, mesh,
+        dt=0.5, seed=11, tile=tile, interpret=True, layout="cols",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(single.replicas.clock.event_count),
+        np.asarray(sharded.replicas.clock.event_count),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(single.replicas.site_of_proton),
+        np.asarray(sharded.replicas.site_of_proton),
+    )
+
+
 def test_sharded_jump_matrix_psum():
     """Jump-matrix tracking on the sharded dense path: the cross-shard psum
     must reproduce the single-device pair-count matrix exactly."""
