@@ -144,9 +144,19 @@ class HDF5Trajectory:
 
 def _compression_kwargs():
     """Prefer Blosc (the reference's on-disk format) when the HDF5 plugin is
-    present; fall back to gzip."""
+    present, then LZF, then gzip. The choice only affects files WE write —
+    reads handle whatever filter the file carries. LZF over gzip because the
+    prefetch thread decompresses every chunk at stream time: gzip-4 decode of
+    float32 positions is slow enough to starve the device pipeline on a
+    small host (the 1M-frame soak), while LZF (+byte-shuffle, which recovers
+    most of the ratio on coordinates) decodes several times faster. Note LZF
+    is an h5py-native filter: files are portable across h5py installs but
+    not to non-Python HDF5 tools — pass gzip explicitly via h5py if that
+    matters more than stream speed."""
     if h5py.h5z.filter_avail(BLOSC_FILTER):
         return {"compression": BLOSC_FILTER}
+    if h5py.h5z.filter_avail(h5py.h5z.FILTER_LZF):
+        return {"compression": "lzf", "shuffle": True}
     return {"compression": "gzip", "compression_opts": 4}
 
 
