@@ -1,5 +1,6 @@
-"""``trajzip`` — interleave two xyz trajectories frame by frame
-(reference misc/trajzip.py:6-32)."""
+"""``trajzip`` — merge two xyz trajectories frame by frame into combined
+frames of n1+n2 atoms (reference misc/trajzip.py:6-32: prints ``n1 + n2``,
+an empty comment line, then both atom blocks)."""
 
 from __future__ import annotations
 
@@ -7,37 +8,44 @@ import argparse
 import sys
 
 
-def interleave(file1, file2, out=None):
+def _frames(f):
+    while True:
+        header = f.readline()
+        if not header.strip():
+            return
+        n = int(header)
+        f.readline()  # comment line (discarded, as in the reference)
+        lines = [f.readline() for _ in range(n)]
+        yield n, lines
+
+
+def merge(file1, file2, out=None):
+    """Combine corresponding frames of two xyz streams into single frames.
+
+    Matches the reference output shape: atom count ``n1 + n2``, an empty
+    comment line, then the atoms of file1 followed by the atoms of file2.
+    Stops at the shorter trajectory.
+    """
     out = out or sys.stdout
-
-    def frames(f):
-        while True:
-            header = f.readline()
-            if not header.strip():
-                return
-            n = int(header)
-            comment = f.readline()
-            lines = [f.readline() for _ in range(n)]
-            yield header, comment, lines
-
-    for (h1, c1, l1), (h2, c2, l2) in zip(frames(file1), frames(file2)):
-        out.write(h1)
-        out.write(c1)
+    for (n1, l1), (n2, l2) in zip(_frames(file1), _frames(file2)):
+        out.write(f"{n1 + n2}\n")
+        out.write("\n")
         out.writelines(l1)
-        out.write(h2)
-        out.write(c2)
         out.writelines(l2)
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser(
-        description="Interleave two xyz trajectories frame by frame"
+        description="Merge two xyz trajectories into combined n1+n2-atom frames"
     )
     parser.add_argument("file1")
     parser.add_argument("file2")
     args = parser.parse_args(argv)
-    with open(args.file1) as f1, open(args.file2) as f2:
-        interleave(f1, f2)
+    try:
+        with open(args.file1) as f1, open(args.file2) as f2:
+            merge(f1, f2)
+    except BrokenPipeError:
+        sys.stderr.close()
 
 
 if __name__ == "__main__":

@@ -2,8 +2,8 @@
 
 Same on-disk layout as the reference (IO/trajectory_parser.py:290-337,
 IO/converters.py:22-50): datasets ``trajectory`` (float32 [F, N, 3]) and
-``atom_names`` (bytes). Blosc compression (filter 32001) is used when the
-filter is available, otherwise gzip — the reference hard-requires
+``atom_names`` (bytes). Compression preference: Blosc (filter 32001) when
+available, then LZF+shuffle, then gzip — the reference hard-requires
 pytables+conda for Blosc; we degrade gracefully.
 """
 

@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from cmdlmc_tpu.analysis.anglematrix import angle_matrix
-from cmdlmc_tpu.cli.trajzip import interleave
+from cmdlmc_tpu.cli.trajzip import merge
 from cmdlmc_tpu.core.cell import Cell
 from cmdlmc_tpu.utils.stats import Welford, chunk, excess_proton_msd
 from cmdlmc_tpu.utils.version import version_lines
@@ -67,13 +67,16 @@ def test_angle_matrix_batched():
     assert float(angles[0, 0, 2]) == pytest.approx(np.pi / 2, rel=1e-3)
 
 
-def test_trajzip_interleaves():
+def test_trajzip_merges_frames():
+    # reference misc/trajzip.py prints n1+n2, blank comment, both atom blocks
     a = "1\nfa\nO 0 0 0\n1\nfa2\nO 1 1 1\n"
-    b = "1\nfb\nH 9 9 9\n1\nfb2\nH 8 8 8\n"
+    b = "2\nfb\nH 9 9 9\nH 7 7 7\n2\nfb2\nH 8 8 8\nH 6 6 6\n"
     out = io.StringIO()
-    interleave(io.StringIO(a), io.StringIO(b), out)
+    merge(io.StringIO(a), io.StringIO(b), out)
     lines = out.getvalue().splitlines()
-    assert lines[1] == "fa" and lines[4] == "fb" and lines[7] == "fa2"
+    assert lines[0] == "3" and lines[1] == ""
+    assert lines[2].startswith("O 0") and lines[3].startswith("H 9")
+    assert lines[5] == "3" and lines[7].startswith("O 1")
 
 
 def test_version_lines():
