@@ -36,6 +36,16 @@ def kmc_water_main(settings, out=None):
 
     print_settings(settings, out=out)
 
+    if getattr(settings, "debug", False):
+        # reference: debug flag switches to DEBUG-level logging
+        # (excess_kmc.py:314-320)
+        import logging
+
+        logging.basicConfig(
+            level=logging.DEBUG,
+            format="%(levelname)s:%(filename)s.%(funcName)s(%(lineno)d): %(message)s",
+        )
+
     dt = settings.md_timestep_fs
     p = settings.jumprate_params_fs
     # The reference multiplies 'a' by the MD timestep to get a per-frame
@@ -52,7 +62,11 @@ def kmc_water_main(settings, out=None):
     law = Fermi(a=jnp.float32(p["a"]), b=jnp.float32(p["b"]), c=jnp.float32(p["c"]))
 
     transform = None
-    if settings.conversion_data:
+    if getattr(settings, "no_rescaling", False):
+        # no_rescaling overrides rescale_function/conversion_data
+        # (excess_kmc.py:419-420)
+        pass
+    elif settings.conversion_data:
         data = np.loadtxt(settings.conversion_data)
         dist, conversion = data[:, 0], data[:, -1]
         transform = InterpolatedTransformation(
@@ -65,7 +79,9 @@ def kmc_water_main(settings, out=None):
             left_bound=jnp.float32(rp["left_bound"]),
             right_bound=jnp.float32(rp["right_bound"]),
         )
-    elif settings.rescale_function == "ramp":
+    elif settings.rescale_function in ("ramp", "ramp_function"):
+        # the reference's keyword value is 'ramp_function'
+        # (config_parser.py:426-433)
         rp = settings.rescale_parameters
         transform = ReLUTransformation(
             a=jnp.float32(rp["a"]), b=jnp.float32(rp["b"]), d0=jnp.float32(rp["d0"]),
@@ -106,11 +122,19 @@ def kmc_water_main(settings, out=None):
     trunc_total = None  # device scalar, fetched once at the end
     frames_total = 0
 
+    block_size = int(getattr(settings, "chunk_size", None) or 512)
+    # mdconvert trajectories are in nm; the lattice works in angstrom
+    # (excess_kmc.py:353-356)
+    unit_scale = 10.0 if getattr(settings, "mdconvert_trajectory", False) else 1.0
+
     for block in prefetch(
-        frame_blocks(traj, block_size=512, donor_atoms="O",
+        frame_blocks(traj, block_size=block_size, donor_atoms="O",
                      max_frames=settings.sweeps)
     ):
-        positions = jnp.asarray(block.donors, jnp.float32)
+        donors_host = np.asarray(block.donors)
+        if unit_scale != 1.0:
+            donors_host = donors_host * unit_scale
+        positions = jnp.asarray(donors_host, jnp.float32)
         if states is None:
             n_sites = positions.shape[1]
             states = wm.init_water_states(
@@ -145,7 +169,7 @@ def kmc_water_main(settings, out=None):
         frames_total += block.n_frames
         jumps0 = int(np.asarray(states.jumps)[0])
         corr0 = np.asarray(states.correction)[0]
-        donors_np = np.asarray(block.donors)
+        donors_np = donors_host
 
         if not printed_header and not settings.xyz_output:
             print(
@@ -218,7 +242,11 @@ def main(argv=None):
 
             jax.config.update("jax_platforms", args.platform)
         settings = load_configfile(args.config_file, config_name="KMCWater")
-        kmc_water_main(settings)
+        if getattr(settings, "output", None):
+            with open(settings.output, "w") as out:
+                kmc_water_main(settings, out=out)
+        else:
+            kmc_water_main(settings)
 
 
 if __name__ == "__main__":

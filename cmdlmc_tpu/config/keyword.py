@@ -32,21 +32,38 @@ def parse_bool(tokens):
     return tokens[0].lower() in ("true", "1", "yes", "on")
 
 
+def _strip_brackets(tokens):
+    # tolerate the reference template's python-list repr: "[1, 1, 1]"
+    joined = " ".join(tokens).replace("[", " ").replace("]", " ").replace(",", " ")
+    return joined.split()
+
+
 def parse_floats(tokens):
-    return np.array([float(t) for t in tokens])
+    return np.array([float(t) for t in _strip_brackets(tokens)])
 
 
 def parse_ints(tokens):
-    return [int(t) for t in tokens]
+    return [int(t) for t in _strip_brackets(tokens)]
 
 
 def parse_dict(tokens):
-    """``a=1 b=2`` or ``a 1 b 2`` -> dict of floats."""
+    """``a=1 b=2``, ``a 1 b 2``, or the reference's python dict syntax
+    ``{'a': 1, 'b': 2}`` / ``dict(a=1, b=2)`` (IO/config_parser.py:13-16
+    get_dictionary) -> dict of floats."""
+    joined = " ".join(tokens)
+    if "{" in joined:
+        import ast
+
+        literal = joined[joined.index("{"): joined.rindex("}") + 1]
+        return {str(k): float(v) for k, v in ast.literal_eval(literal).items()}
+    if joined.startswith("dict"):
+        inner = joined[joined.index("(") + 1: joined.rindex(")")]
+        tokens = [t.strip() for t in inner.split(",") if t.strip()]
     out = {}
     if any("=" in t for t in tokens):
         for t in tokens:
             k, _, v = t.partition("=")
-            out[k] = float(v)
+            out[k.strip()] = float(v)
     else:
         for k, v in zip(tokens[::2], tokens[1::2]):
             out[k] = float(v)
@@ -70,6 +87,8 @@ _COMMON = [
     ("xyz_output", parse_bool, False, "Print xyz frames instead of columns."),
     ("replicas", parse_int, 1,
      "Number of vmapped independent KMC replicas (TPU extension)."),
+    ("output", parse_string, None,
+     "Write column output to this file instead of stdout."),
 ]
 
 CONFIG_SCHEMAS: dict[str, list] = {
@@ -124,8 +143,6 @@ CONFIG_SCHEMAS: dict[str, list] = {
          "Use a K-nearest neighbor list instead of the dense pair-rate matrix "
          "(the reference's Verlet-list option, topology.py:80-114); K is "
          "chosen from neighbor_search_radius."),
-        ("output", parse_string, None,
-         "Write column output to this file instead of stdout."),
         ("auxiliary_file", parse_string, None,
          "Alternate name for the coordinate file; used when 'filename' is "
          "absent. An .xyz file is converted to a compressed .hdf5 next to it "
@@ -154,10 +171,51 @@ CONFIG_SCHEMAS: dict[str, list] = {
         ("n_atoms", parse_int, 3, "Neighbors per site (3 or 4)."),
         ("keep_last_neighbor_rescaled", parse_bool, False,
          "Keep the connection to the previous oxygen rescaled."),
-        ("check_from_old", parse_bool, False,
-         "Also check the old oxygen's neighbor list for a back connection."),
+        ("check_from_old", parse_bool, True,
+         "Also check the old oxygen's neighbor list for a back connection "
+         "(reference default: True, config_parser.py:530-535)."),
+        ("chunk_size", parse_int, 1000,
+         "Trajectory streaming block size in frames (config_parser.py:399-404)."),
+        ("no_rescaling", parse_bool, False,
+         "If True, distances are not rescaled — overrides rescale_function and "
+         "conversion_data (config_parser.py:445-450, excess_kmc.py:419-420)."),
+        ("debug", parse_bool, False,
+         "Enable DEBUG-level logging (config_parser.py:469-474)."),
+        ("mdconvert_trajectory", parse_bool, False,
+         "If the trajectory was written by mdconvert, convert coordinates from "
+         "nm to angstrom (x10; config_parser.py:518-523, excess_kmc.py:353-356)."),
+        ("overwrite_jumprates", parse_bool, False,
+         "Obsolete here (accepted for reference-config compatibility): the "
+         "reference used it to refresh its HDF5 jump-rate cache; this framework "
+         "recomputes neighbor distances on device every run."),
+        ("overwrite_oxygen_trajectory", parse_bool, False,
+         "Obsolete here (accepted for reference-config compatibility): the "
+         "reference used it to refresh its cached HDF5 oxygen trajectory."),
     ],
 }
+
+# Alternate key spellings accepted per schema: the reference's cMDLMC schema
+# names the print cadence 'print_freq' (config_parser.py:203-208) while
+# KMCWater (and this framework) use 'print_frequency'.
+ALIASES: dict[str, dict[str, str]] = {
+    "cMDLMC": {"print_freq": "print_frequency"},
+    "KMCWater": {},
+}
+
+# Keys that are accepted and parsed but have no effect in this framework
+# (warned about at load time). Both managed the reference's derived-data HDF5
+# cache (excess_kmc.py:331-365,406-413), which this framework replaced with
+# on-device recomputation.
+OBSOLETE: dict[str, tuple[str, ...]] = {
+    "cMDLMC": (),
+    "KMCWater": ("overwrite_jumprates", "overwrite_oxygen_trajectory"),
+}
+
+# Placeholder values the reference's own print_config_template emits for
+# required/None defaults (config_parser.py:117-126): such lines are treated
+# as "key present but unset" so a template loads unmodified. The stdout repr
+# is what the reference prints for the 'output' key's default.
+_PLACEHOLDERS = ("no_default", "<MISSING", "<_io.TextIOWrapper")
 
 
 def load_configfile(path_or_file, config_name: str = "cMDLMC") -> SimpleNamespace:
@@ -165,6 +223,8 @@ def load_configfile(path_or_file, config_name: str = "cMDLMC") -> SimpleNamespac
     (config_parser.py:60-94)."""
     schema = CONFIG_SCHEMAS[config_name]
     keys = {k: (parse, default) for k, parse, default, _ in schema}
+    aliases = ALIASES.get(config_name, {})
+    obsolete = OBSOLETE.get(config_name, ())
     settings = {}
     if hasattr(path_or_file, "read"):
         lines = path_or_file.read().splitlines()
@@ -177,8 +237,19 @@ def load_configfile(path_or_file, config_name: str = "cMDLMC") -> SimpleNamespac
             continue
         tokens = line.split()
         key, args = tokens[0], tokens[1:]
+        key = aliases.get(key, key)
         if key not in keys:
             raise KeyError(f"Unknown keyword {key!r} on line {lineno}")
+        if args and args[0] in _PLACEHOLDERS:
+            continue  # template placeholder: leave unset
+        if key in obsolete:
+            import sys
+
+            print(
+                f"# WARNING: keyword {key!r} has no effect in this framework "
+                "(the reference's HDF5 derived-data cache does not exist here)",
+                file=sys.stderr,
+            )
         parse, _ = keys[key]
         try:
             settings[key] = None if args == ["None"] else parse(args)
