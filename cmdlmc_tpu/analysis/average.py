@@ -45,6 +45,36 @@ def _settings_from_comments(lines):
         return None
 
 
+def _intervals_from_footer(lines, marker):
+    """Reference 'Averaged Results' footer strategy (average_MC_out.py:58-79):
+    runs of the reference itself append an averaged block between a line
+    containing 'Averaged Results' and one containing 'Total time'. The number
+    of data rows in that block is the interval length; the data rows above the
+    marker divided by it give the interval count."""
+    end = next(
+        (i for i, l in enumerate(lines) if "Total time" in l), len(lines)
+    )
+
+    def n_data_rows(chunk):
+        count = 0
+        for l in chunk:
+            parts = l.split()
+            if not parts or l.lstrip().startswith("#"):
+                continue
+            try:
+                [float(x) for x in parts]
+            except ValueError:
+                continue
+            count += 1
+        return count
+
+    interval_length = n_data_rows(lines[marker:end])
+    if interval_length == 0:
+        return None
+    total = n_data_rows(lines[:marker])
+    return interval_length, total // interval_length
+
+
 def _intervals_from_msd_zeros(data):
     zeros = np.where(data[:, 2] == 0)[0]
     if len(zeros) < 2:
@@ -61,10 +91,18 @@ def load_intervals(filename_or_lines, verbose=False):
     else:
         lines = list(filename_or_lines)
 
+    # A reference-produced output file may carry an 'Averaged Results' footer
+    # (average_MC_out.py:58-79): its rows are derived data, not run output —
+    # clip them from the body and use them as an interval-detection source.
+    footer_marker = next(
+        (i for i, l in enumerate(lines) if "Averaged Results" in l), None
+    )
+    body = lines if footer_marker is None else lines[:footer_marker]
+
     # tolerate contaminated captures (stderr log lines, partial rows): keep
     # only rows that parse as floats with the majority column count
     rows = []
-    for l in lines:
+    for l in body:
         if not l.strip() or l.startswith("#"):
             continue
         try:
@@ -79,6 +117,8 @@ def load_intervals(filename_or_lines, verbose=False):
     data = np.array([r for r in rows if len(r) == ncols], dtype=float)
 
     result = _settings_from_comments(lines)
+    if result is None and footer_marker is not None:
+        result = _intervals_from_footer(lines, footer_marker)
     if result is None:
         result = _intervals_from_msd_zeros(data)
     if result is None:

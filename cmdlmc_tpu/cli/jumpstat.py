@@ -36,7 +36,7 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
 
     from cmdlmc_tpu.config.schema import load_config
-    from cmdlmc_tpu.driver import Simulation
+    from cmdlmc_tpu.driver import Simulation, jumpstat_lines
 
     cfg = load_config(args.configfile)
     sim = Simulation(cfg)
@@ -53,27 +53,8 @@ def main(argv=None):
     centers = 0.5 * (edges[:-1] + edges[1:])
     dt = sim.dt
 
-    print(f"# jumpstat over [{args.range[0]}, {args.range[1]}] A, {args.bins} bins")
-    print(
-        "# estimator: omega(d) = jumps / (exposure * dt) — exposure-based "
-        "rate estimate.\n"
-        "# It is unbiased while omega*dt stays well below "
-        "max_events_per_frame (tested at\n"
-        "# omega*dt up to ~0.5); residual high-rate bias is "
-        "O(omega*dt/max_events) from the\n"
-        "# per-frame event budget plus end-of-frame exposure sampling — if "
-        "the run printed\n"
-        "# a truncation warning, raise [Engine] max_events_per_frame before "
-        "trusting omega."
-    )
-    print(f"# {'d/A':>8} {'jumps':>10} {'exposure':>12} {'P(jump)':>12} "
-          f"{'omega/fs^-1':>12}")
-    for i in range(args.bins):
-        p = jumps[i] / opp[i] if opp[i] > 0 else 0.0
-        print(
-            f"{centers[i]:10.4f} {int(jumps[i]):10d} {opp[i]:12.1f} "
-            f"{p:12.6g} {p / dt:12.6g}"
-        )
+    for line in jumpstat_lines(states, tuple(args.range), args.bins, dt):
+        print(line)
 
     if args.fit:
         from scipy.optimize import curve_fit

@@ -117,6 +117,9 @@ def legacy_to_simulation_config(settings) -> S.SimulationConfig:
             reset_frequency=settings.reset_freq,
             print_frequency=settings.print_frequency,
             variance=settings.variance_per_proton,
+            # the legacy key's statistic is per-proton (config_parser.py:
+            # 356-363), not across-replica
+            variance_mode="protons" if settings.variance_per_proton else "replicas",
             periodic_wrap=settings.periodic_wrap,
             higher_msd=settings.higher_msd,
             filename=settings.output,

@@ -170,11 +170,24 @@ class OutputSection:
     reset_frequency: int = 0
     print_frequency: int = 1
     particle_type: str = "H"
-    variance: bool = False  # also print across-replica variance columns
+    variance: bool = False  # also print variance columns
+    # what the variance columns measure: "replicas" (across independent KMC
+    # chains; this framework's natural ensemble statistic) or "protons" (the
+    # reference's variance_per_proton: across proton trajectories within a
+    # chain, config_parser.py:356-363, averaged over replicas)
+    variance_mode: str = "replicas"
     replica_dump: Optional[str] = None  # npz path for per-replica observables
     periodic_wrap: bool = False  # wrap xyz-output positions into the box
     higher_msd: bool = False  # also print the 4th displacement moment column
     filename: Optional[str] = None  # write output here instead of stdout
+    # distance-resolved jump statistics (the jumpstat capability,
+    # reference README.md:57-58): > 0 enables on-device jump/exposure
+    # histograms, printed as a '# jumpstat' block at the end of the run
+    jumpstat_bins: int = 0
+    jumpstat_range: Any = _field(
+        parse=lambda s: tuple(float(x) for x in _parse_vector(s)),
+        default=(2.0, 3.0),
+    )
 
 
 @dataclasses.dataclass

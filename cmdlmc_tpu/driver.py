@@ -159,22 +159,62 @@ def build_model(cfg: SimulationConfig, cell: Cell, law, first_block):
 
 
 @jax.jit
-def _fused_obs_stats(states):
+def _fused_obs_stats(states, variance_mode="replicas"):
     """Device-side reduction of block-boundary observables into one vector:
     [msd_mean(3), msd_var(3), autocorr_mean, autocorr_var, jumps_mean,
     msd4_mean]."""
     msd, autocorr = eng.observables_of(states.replicas, states.site_disp)
     autocorr = autocorr.astype(jnp.float32)
+    if variance_mode == "protons":
+        pv_msd, pv_auto = eng.per_proton_variance(
+            states.replicas, states.site_disp
+        )
+        msd_var, autocorr_var = pv_msd.mean(axis=0), pv_auto.mean()
+    else:
+        msd_var, autocorr_var = msd.var(axis=0), autocorr.var()
     return jnp.concatenate([
         msd.mean(axis=0),
-        msd.var(axis=0),
+        msd_var,
         jnp.stack([
             autocorr.mean(),
-            autocorr.var(),
+            autocorr_var,
             states.replicas.jumps.astype(jnp.float32).mean(),
             eng.displacement_moment4(states.replicas, states.site_disp).mean(),
         ]),
     ])
+
+
+def jumpstat_lines(states, hist_range, bins, dt):
+    """Format the distance-resolved jump statistics accumulated by the
+    engine's on-device histograms (jumpstat capability, reference
+    README.md:57-58). Shared by the ``jumpstat`` CLI and the driver's
+    [Output] jumpstat_bins surface."""
+    jumps = np.asarray(states.replicas.jump_hist).sum(axis=0)
+    opp = np.asarray(states.replicas.opportunity_hist).sum(axis=0)
+    edges = np.linspace(hist_range[0], hist_range[1], bins + 1)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    lines = [
+        f"# jumpstat over [{hist_range[0]}, {hist_range[1]}] A, {bins} bins",
+        "# estimator: omega(d) = jumps / (exposure * dt) — exposure-based "
+        "rate estimate.",
+        "# It is unbiased while omega*dt stays well below "
+        "max_events_per_frame (tested at",
+        "# omega*dt up to ~0.5); residual high-rate bias is "
+        "O(omega*dt/max_events) from the",
+        "# per-frame event budget plus end-of-frame exposure sampling — if "
+        "the run printed",
+        "# a truncation warning, raise [Engine] max_events_per_frame before "
+        "trusting omega.",
+        f"# {'d/A':>8} {'jumps':>10} {'exposure':>12} {'P(jump)':>12} "
+        f"{'omega/fs^-1':>12}",
+    ]
+    for i in range(bins):
+        p = jumps[i] / opp[i] if opp[i] > 0 else 0.0
+        lines.append(
+            f"{centers[i]:10.4f} {int(jumps[i]):10d} {opp[i]:12.1f} "
+            f"{p:12.6g} {p / dt:12.6g}"
+        )
+    return lines
 
 
 @dataclasses.dataclass
@@ -237,9 +277,15 @@ class Simulation:
         )
         self.box_mult = tuple(cfg.atombox.box_multiplier)
         self._mult_total = int(np.prod(self.box_mult))
-        # jump-statistics knobs (jumpstat CLI / jumpmatrix capability)
-        self.hist_bins = 0
-        self.hist_range = (2.0, 3.0)
+        # jump-statistics knobs (jumpstat CLI / jumpmatrix capability) —
+        # config-surfaced as [Output] jumpstat_bins / jumpstat_range
+        self.hist_bins = int(cfg.output.jumpstat_bins)
+        self.hist_range = tuple(cfg.output.jumpstat_range)
+        if cfg.output.variance_mode not in ("replicas", "protons"):
+            raise ValueError(
+                "[Output] variance_mode must be 'replicas' or 'protons', "
+                f"got {cfg.output.variance_mode!r}"
+            )
         self.track_jump_matrix = bool(cfg.engine.jumpmatrix_filename)
         self.final_states = None
         self._max_truncation = 0.0
@@ -526,6 +572,7 @@ class Simulation:
                     hist_range=tuple(self.hist_range),
                     emit_every=cfg.output.print_frequency,
                     equilibration=cfg.engine.equilibration_sweeps,
+                    variance_mode=cfg.output.variance_mode,
                 )
                 rows = jax.device_get(rows)
                 trunc = float(np.max(np.asarray(rows.truncated_mean)))
@@ -652,7 +699,9 @@ class Simulation:
             )
         pending = []
         if f % cfg.output.print_frequency == 0 and f >= eq:
-            pending.append((f, _fused_obs_stats(states)))
+            pending.append(
+                (f, _fused_obs_stats(states, cfg.output.variance_mode))
+            )
         return states, pending
 
     def _emit_fused(self, batch):
@@ -921,6 +970,12 @@ class Simulation:
                     f"{r.autocorr_var:8.2f}",
                 ]
             print(" ".join(cols), file=out, flush=True)
+        if self.hist_bins > 0 and self.final_states is not None:
+            # INI-driven jumpstat block ([Output] jumpstat_bins/jumpstat_range)
+            for line in jumpstat_lines(
+                self.final_states, self.hist_range, self.hist_bins, self.dt
+            ):
+                print(line, file=out)
         if self.track_jump_matrix and self.final_states is not None:
             jumpmatrix = np.asarray(self.final_states.replicas.jump_matrix).sum(axis=0)
             np.save(cfg.engine.jumpmatrix_filename, jumpmatrix)

@@ -405,15 +405,36 @@ def displacement_moment4(states: ReplicaState, site_disp):
     return jnp.mean(r2 * r2, axis=-1)
 
 
-def _make_row(states: ReplicaState, site_disp, frame):
+def per_proton_variance(states: ReplicaState, site_disp):
+    """The reference's ``variance_per_proton`` statistic (config_parser.py:
+    356-363 help text; computed with the Welford-with-mask generator,
+    misc/tools.py:18-54): variance ACROSS PROTON TRAJECTORIES within one
+    chain — of each proton's squared displacement per component, and of the
+    per-proton still-on-reference-site indicator. Returned per replica
+    ([R, 3], [R]); callers average over replicas (the reference ran exactly
+    one chain)."""
+    disp = proton_displacement(states, site_disp)  # [R, P, 3]
+    msd_var = (disp * disp).var(axis=-2)
+    ind = (states.site_of_proton == states.autocorr_ref).astype(jnp.float32)
+    return msd_var, ind.var(axis=-1)
+
+
+def _make_row(states: ReplicaState, site_disp, frame, variance_mode="replicas"):
     msd, autocorr = observables_of(states, site_disp)
+    if variance_mode == "protons":
+        pv_msd, pv_auto = per_proton_variance(states, site_disp)
+        msd_var = pv_msd.mean(axis=0)
+        autocorr_var = pv_auto.mean()
+    else:
+        msd_var = msd.var(axis=0)
+        autocorr_var = autocorr.astype(jnp.float32).var()
     return ObsRow(
         frame=frame.index,
         time=frame.time,
         msd_mean=msd.mean(axis=0),
-        msd_var=msd.var(axis=0),
+        msd_var=msd_var,
         autocorr_mean=autocorr.astype(jnp.float32).mean(),
-        autocorr_var=autocorr.astype(jnp.float32).var(),
+        autocorr_var=autocorr_var,
         jumps_mean=states.jumps.astype(jnp.float32).mean(),
         events_mean=states.clock.event_count.astype(jnp.float32).mean(),
         truncated_mean=jnp.float32(0.0),
@@ -444,7 +465,7 @@ def _reset_states(states: ReplicaState, site_disp):
 
 def _block_scan(model, cell, ens, keys, frames, dt, max_events,
                 reset_frequency, hist_range, emit_every, with_sites,
-                equilibration=0):
+                equilibration=0, variance_mode="replicas"):
     def step(carry, frame):
         states, site_disp, prev_pos = carry
         site_disp = site_disp + cell_displacement(cell, prev_pos, frame.donors)
@@ -474,11 +495,11 @@ def _block_scan(model, cell, ens, keys, frames, dt, max_events,
             emit = frame.index % emit_every == 0
             row = jax.lax.cond(
                 emit,
-                lambda: _make_row(states, site_disp, frame),
+                lambda: _make_row(states, site_disp, frame, variance_mode),
                 lambda: _empty_row(frame),
             )
         else:
-            row = _make_row(states, site_disp, frame)
+            row = _make_row(states, site_disp, frame, variance_mode)
         # event-bound telemetry is never gated: a replica that used all
         # max_events slots this frame may have been truncated
         row = dataclasses.replace(
@@ -498,7 +519,7 @@ def _block_scan(model, cell, ens, keys, frames, dt, max_events,
 @partial(
     jax.jit,
     static_argnames=("dt", "max_events", "reset_frequency", "hist_range",
-                     "emit_every", "equilibration"),
+                     "emit_every", "equilibration", "variance_mode"),
 )
 def run_block(
     model,
@@ -513,6 +534,7 @@ def run_block(
     hist_range: tuple = (2.0, 3.0),
     emit_every: int = 1,
     equilibration: int = 0,
+    variance_mode: str = "replicas",
 ) -> tuple[EnsembleState, ObsRow]:
     """Advance all replicas across a block of frames (stacked leading axis).
 
@@ -523,7 +545,8 @@ def run_block(
     """
     return _block_scan(model, cell, ens, keys, frames, dt, max_events,
                        reset_frequency, hist_range, emit_every,
-                       with_sites=False, equilibration=equilibration)
+                       with_sites=False, equilibration=equilibration,
+                       variance_mode=variance_mode)
 
 
 @partial(

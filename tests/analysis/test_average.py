@@ -51,6 +51,24 @@ def test_interval_detection_from_msd_zeros():
     assert data.shape == (5, 20, 7)
 
 
+def test_interval_detection_from_averaged_results_footer():
+    """Reference-produced files carry an 'Averaged Results' footer
+    (average_MC_out.py:58-79); its row count gives the interval length and
+    the footer rows are excluded from the body."""
+    lines = synth_output(n_intervals=4, rows=25, comments=False)
+    # break the msd-zero heuristic deliberately: footer must be what works
+    lines = [l if i % 25 or i == 0 else l.replace(" 0.0000", " 0.0001", 3)
+             for i, l in enumerate(lines)]
+    footer = ["# Averaged Results:\n", "# sweeps time msd autocorr jumps\n"]
+    for r in range(25):
+        footer.append(f"{r:8d} {r*10.0:10.2f} 1.0 1.0 1.0 5.0 2.0\n")
+    footer.append("# Total time: 42 s\n")
+    data = load_intervals(lines + footer)
+    assert data.shape == (4, 25, 7)
+    # the footer's constant rows must not leak into the body data
+    assert not np.allclose(data[-1, :, 2], 1.0)
+
+
 def test_average_intervals():
     data = load_intervals(synth_output(noise=0.1))
     time, avg, var = average_intervals(data, variance=True)

