@@ -15,6 +15,7 @@ whatever the output iterable yields; here the driver
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 import sys
 from typing import Iterator
@@ -158,7 +159,7 @@ def build_model(cfg: SimulationConfig, cell: Cell, law, first_block):
     raise ValueError(f"Unknown topology type {topo.type_!r}")
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("variance_mode",))
 def _fused_obs_stats(states, variance_mode="replicas"):
     """Device-side reduction of block-boundary observables into one vector:
     [msd_mean(3), msd_var(3), autocorr_mean, autocorr_var, jumps_mean,
