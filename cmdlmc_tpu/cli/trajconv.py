@@ -22,6 +22,13 @@ def main(argv=None):
     parser.add_argument(
         "--selection", default=None, help="Atom type to select (e.g. O)"
     )
+    parser.add_argument(
+        "--compression",
+        default="auto",
+        choices=("auto", "none", "blosc", "lzf", "gzip"),
+        help="HDF5 dataset compression; 'none' is the streaming fast layout "
+        "(raw chunked reads — no per-chunk decode on the prefetch thread)",
+    )
     parser.add_argument("--verbose", "-v", action="store_true")
     args = parser.parse_args(argv)
 
@@ -34,6 +41,7 @@ def main(argv=None):
         args.hdf5,
         remove_com_movement=args.remove_com_movement,
         selection=args.selection,
+        compression=args.compression,
     )
     print(out)
 

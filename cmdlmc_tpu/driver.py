@@ -398,6 +398,14 @@ class Simulation:
     # -- main loop ---------------------------------------------------------------
 
     def observable_rows(self) -> Iterator[ObservableRecord]:
+        return self._stream(xyz=False)
+
+    def _stream(self, xyz: bool):
+        """The single block-streaming engine behind :meth:`observable_rows`
+        (yields :class:`ObservableRecord`) and :meth:`xyz_rows` (yields xyz
+        frame strings). Checkpoint resume/save, model/mesh/backend
+        resolution, fused span sub-chunking and truncation accounting are
+        shared; only the per-boundary emission differs."""
         from cmdlmc_tpu.utils.checkpoint import CheckpointWriter, load_checkpoint
 
         cfg = self.cfg
@@ -501,6 +509,20 @@ class Simulation:
                         and jax.default_backend() == "tpu"
                         and eng_fused.fused_supported(model, self.cell, states)
                     )
+                if cfg.engine.stale_rates and (
+                    not use_fused
+                    or isinstance(
+                        model,
+                        (topo_models.TopKPairRates, topo_models.HydroniumRates),
+                    )
+                ):
+                    logger.warning(
+                        "[Engine] stale_rates only changes the fused DENSE "
+                        "backends; the %s path recomputes in-frame rates "
+                        "after each event (distributionally equivalent at "
+                        "rate*dt << 1 — PARITY.md 'Known limitations')",
+                        "scan" if not use_fused else "top-K kernel",
+                    )
                 if use_fused:
                     logger.info("Using the fused Pallas sweep backend")
                     if cfg.output.print_frequency < 8:
@@ -511,6 +533,7 @@ class Simulation:
                             cfg.output.print_frequency,
                             cfg.output.print_frequency,
                         )
+            donors_np = None
             if use_fused:
                 from cmdlmc_tpu.engine import fused as eng_fused
 
@@ -557,9 +580,52 @@ class Simulation:
                         frac if self._fused_trunc is None
                         else jnp.maximum(self._fused_trunc, frac)
                     )
-                    states, pend = self._fused_post(states, sub_end)
+                    states, pend = self._fused_post(
+                        states, sub_end, snapshot=not xyz
+                    )
                     fused_pending.extend(pend)
+                    if xyz:
+                        f = sub_end - 1
+                        if (
+                            f % cfg.output.print_frequency == 0
+                            and f >= cfg.engine.equilibration_sweeps
+                        ):
+                            if donors_np is None:
+                                donors_np = np.asarray(
+                                    jax.device_get(frames.donors)
+                                )
+                            sites0 = np.asarray(jax.device_get(
+                                states.replicas.site_of_proton[0]
+                            ))
+                            yield self._format_xyz(
+                                donors_np[f - block.start], sites0, f
+                            )
                 rows = None
+            elif xyz:
+                states, rows, sites = eng.run_block_with_sites(
+                    model,
+                    self.cell,
+                    states,
+                    keys,
+                    frames,
+                    dt=self.dt,
+                    max_events=cfg.engine.max_events_per_frame,
+                    reset_frequency=cfg.output.reset_frequency,
+                    equilibration=cfg.engine.equilibration_sweeps,
+                )
+                trunc = float(np.max(np.asarray(rows.truncated_mean)))
+                if trunc > self._max_truncation:
+                    self._max_truncation = trunc
+                donors_np = np.asarray(jax.device_get(frames.donors))
+                sites_np = np.asarray(jax.device_get(sites))
+                for i in range(block.n_frames):
+                    if block.start + i < cfg.engine.equilibration_sweeps:
+                        continue
+                    if (block.start + i) % cfg.output.print_frequency != 0:
+                        continue
+                    yield self._format_xyz(
+                        donors_np[i], sites_np[i], block.start + i
+                    )
             else:
                 states, rows = eng.run_block(
                     model,
@@ -590,7 +656,7 @@ class Simulation:
 
                 self._steady_t0 = _t.time()
                 self._steady_frames0 = block.start + block.n_frames
-            if use_fused:
+            if use_fused and not xyz:
                 # one-block-deferred fetch: this block's kernels are already
                 # dispatched (async), so materializing the PREVIOUS block's
                 # rows now lets the round trip overlap device compute
@@ -613,7 +679,7 @@ class Simulation:
                     states, keys, block_end_idx, meta=self._ckpt_meta()
                 )
                 last_ckpt_frame = block_end_idx
-            if not use_fused:
+            if not use_fused and not xyz:
                 for i in range(block.n_frames):
                     frame_no = int(rows.frame[i])
                     if frame_no < cfg.engine.equilibration_sweeps:
@@ -642,6 +708,16 @@ class Simulation:
                              meta=self._ckpt_meta())
         if ckpt_writer is not None:
             ckpt_writer.close()  # run is complete only once the file is
+
+    def _truncation_fraction(self) -> float:
+        """Fold the fused path's on-device truncation accumulator into
+        ``_max_truncation`` and return it (both output modes report it)."""
+        if self._fused_trunc is not None:
+            fused_trunc = float(np.asarray(self._fused_trunc))
+            self._fused_trunc = None
+            if fused_trunc > self._max_truncation:
+                self._max_truncation = fused_trunc
+        return self._max_truncation
 
     def _ckpt_meta(self) -> dict:
         return {
@@ -680,14 +756,16 @@ class Simulation:
             yield prev, b
             prev = b
 
-    def _fused_post(self, states, boundary: int):
+    def _fused_post(self, states, boundary: int, snapshot: bool = True):
         """Observable snapshot / reset at a sub-block boundary of the fused
         backend. ``boundary`` is the index of the next unprocessed frame, so
         the action frame is f = boundary - 1; reset-before-print ordering
         matches the scan engine (and MDMC.py:198-208). Print-frame stats stay
         ON DEVICE — (frame, 10-vector) pairs the caller batches and fetches a
         block later (each host fetch is a full round trip on a tunneled
-        backend; the soak phase profiler measured it at ~40-75 ms)."""
+        backend; the soak phase profiler measured it at ~40-75 ms).
+        ``snapshot=False`` (xyz mode) applies the resets — state/checkpoint
+        parity with the scan backend — but skips the stats reduction."""
         cfg = self.cfg
         f = boundary - 1
         rf = cfg.output.reset_frequency
@@ -699,7 +777,7 @@ class Simulation:
                 replicas=eng._reset_states(states.replicas, states.site_disp),
             )
         pending = []
-        if f % cfg.output.print_frequency == 0 and f >= eq:
+        if snapshot and f % cfg.output.print_frequency == 0 and f >= eq:
             pending.append(
                 (f, _fused_obs_stats(states, cfg.output.variance_mode))
             )
@@ -744,175 +822,11 @@ class Simulation:
 
     def xyz_rows(self) -> Iterator[str]:
         """XYZOutput mode: donor frames with proton pseudo-atoms of replica 0
-        appended (MDMC.py:173-177). Backend/mesh/checkpoint parity with the
-        observables path: the fused kernel runs span-by-span to each print
-        boundary and replica 0's sites are fetched there; ``backend = fused``
-        is honored (or raises via the same gate), checkpoints resume."""
-        from cmdlmc_tpu.utils.checkpoint import CheckpointWriter, load_checkpoint
-
-        cfg = self.cfg
-        model = None
-        states = None
-        keys = None
-        mesh = self._resolve_mesh()
-        ckpt_path = cfg.engine.checkpoint_path
-        ckpt_writer = CheckpointWriter(ckpt_path) if ckpt_path else None
-        resume_frame = 0
-        blocks_done = 0
-        last_frame_done = 0
-        last_ckpt_frame = -1
-        use_fused = None
-
-        if ckpt_path:
-            import os
-
-            if os.path.exists(ckpt_path):
-                states, keys, resume_frame, meta = load_checkpoint(ckpt_path)
-                logger.info("Resuming from %s at frame %d", ckpt_path, resume_frame)
-                fp = meta.get("config_fingerprint")
-                if fp is not None and bytes(fp).decode() != config_fingerprint(cfg):
-                    raise ValueError(
-                        f"Checkpoint {ckpt_path} was written by a run with "
-                        "different physics settings; refusing to resume."
-                    )
-                last_frame_done = resume_frame
-
-        for block, frames in self._blocks(skip_until=resume_frame):
-            block_end_idx = block.start + block.n_frames
-            if block_end_idx <= resume_frame:
-                continue
-            if block.start < resume_frame:
-                raise ValueError(
-                    f"Checkpoint frame {resume_frame} falls inside the block "
-                    f"[{block.start}, {block_end_idx}) — resume with the "
-                    "original [Engine] block_size or delete the checkpoint."
-                )
-            if model is None:
-                model = build_model(cfg, self.cell, self.law, block)
-                n_sites = frames.donors.shape[1]
-                if states is None:
-                    key = jax.random.key(cfg.engine.seed)
-                    states = eng.init_replicas(
-                        jax.random.fold_in(key, 0),
-                        cfg.engine.replicas,
-                        n_sites,
-                        cfg.kmc.proton_number,
-                        frames.donors[0],
-                    )
-                    keys = jax.random.split(
-                        jax.random.fold_in(key, 1), cfg.engine.replicas
-                    )
-                if mesh is not None:
-                    from cmdlmc_tpu.parallel.mesh import (
-                        shard_ensemble, shard_replicas,
-                    )
-
-                    states = shard_ensemble(states, mesh, cfg.engine.mesh_axis)
-                    keys = shard_replicas(keys, mesh, cfg.engine.mesh_axis)
-                from cmdlmc_tpu.engine import fused as eng_fused
-
-                if cfg.engine.backend == "fused":
-                    reason = eng_fused.fused_unsupported_reason(
-                        model, self.cell, states
-                    )
-                    if reason:
-                        raise ValueError(
-                            "backend = fused was requested but the fused "
-                            f"kernel cannot run this configuration ({reason});"
-                            " use backend = auto or scan"
-                        )
-                    use_fused = True
-                else:
-                    use_fused = (
-                        cfg.engine.backend == "auto"
-                        and jax.default_backend() == "tpu"
-                        and eng_fused.fused_supported(model, self.cell, states)
-                    )
-            donors_np = None
-            if use_fused:
-                from cmdlmc_tpu.engine import fused as eng_fused
-
-                for sub_start, sub_end in self._fused_spans(
-                    block.start, block_end_idx
-                ):
-                    lo = sub_start - block.start
-                    hi = sub_end - block.start
-                    fused_kwargs = dict(
-                        dt=self.dt,
-                        max_events=cfg.engine.max_events_per_frame,
-                        seed=cfg.engine.seed,
-                        tile=cfg.engine.tile,
-                        extras_positions=(
-                            frames.extras[lo:hi]
-                            if frames.extras is not None else None
-                        ),
-                        hist_range=tuple(self.hist_range),
-                        stale_rates=cfg.engine.stale_rates,
-                    )
-                    if mesh is not None:
-                        states = eng_fused.run_block_fused_sharded(
-                            model, self.cell, states,
-                            frames.donors[lo:hi], sub_start, mesh,
-                            axis=cfg.engine.mesh_axis, **fused_kwargs,
-                        )
-                    else:
-                        states = eng_fused.run_block_fused(
-                            model, self.cell, states,
-                            frames.donors[lo:hi], sub_start, **fused_kwargs,
-                        )
-                    f = sub_end - 1
-                    if (
-                        f % cfg.output.print_frequency == 0
-                        and f >= cfg.engine.equilibration_sweeps
-                    ):
-                        if donors_np is None:
-                            donors_np = np.asarray(jax.device_get(frames.donors))
-                        sites0 = np.asarray(
-                            jax.device_get(states.replicas.site_of_proton[0])
-                        )
-                        yield self._format_xyz(
-                            donors_np[f - block.start], sites0, f
-                        )
-            else:
-                states, rows, sites = eng.run_block_with_sites(
-                    model,
-                    self.cell,
-                    states,
-                    keys,
-                    frames,
-                    dt=self.dt,
-                    max_events=cfg.engine.max_events_per_frame,
-                    reset_frequency=cfg.output.reset_frequency,
-                    equilibration=cfg.engine.equilibration_sweeps,
-                )
-                donors_np = np.asarray(jax.device_get(frames.donors))
-                sites_np = np.asarray(jax.device_get(sites))
-                for i in range(block.n_frames):
-                    if block.start + i < cfg.engine.equilibration_sweeps:
-                        continue
-                    if (block.start + i) % cfg.output.print_frequency != 0:
-                        continue
-                    yield self._format_xyz(
-                        donors_np[i], sites_np[i], block.start + i
-                    )
-            blocks_done += 1
-            last_frame_done = block_end_idx
-            if (
-                ckpt_path
-                and cfg.engine.checkpoint_interval > 0
-                and blocks_done % cfg.engine.checkpoint_interval == 0
-            ):
-                ckpt_writer.save(
-                    states, keys, block_end_idx, meta=self._ckpt_meta()
-                )
-                last_ckpt_frame = block_end_idx
-        self.final_states = states
-        if (ckpt_path and states is not None and blocks_done > 0
-                and last_frame_done != last_ckpt_frame):
-            ckpt_writer.save(states, keys, last_frame_done,
-                             meta=self._ckpt_meta())
-        if ckpt_writer is not None:
-            ckpt_writer.close()
+        appended (MDMC.py:173-177). Same streaming engine as the observables
+        path (:meth:`_stream`): backend/mesh/checkpoint resolution, fused span
+        sub-chunking, observable resets and truncation accounting are
+        identical; replica 0's sites are fetched at each print boundary."""
+        return self._stream(xyz=True)
 
     def run(self, out=None):
         import time as _time
@@ -943,6 +857,14 @@ class Simulation:
         if cfg.output.type_ == "XYZOutput":
             for row in self.xyz_rows():
                 print(row, file=out)
+            # event-budget telemetry parity with the observables path (the
+            # xyz stream itself must stay parseable, so warn via the logger)
+            if self._truncation_fraction() > 0:
+                logger.warning(
+                    "up to %.2f%% of replicas hit max_events_per_frame in "
+                    "some frame — raise [Engine] max_events_per_frame",
+                    100 * self._max_truncation,
+                )
             return
         header = ["Sweeps", "Time", "MSD_x", "MSD_y", "MSD_z", "Autocorr", "Jumps"]
         if cfg.output.higher_msd:
@@ -997,11 +919,7 @@ class Simulation:
             )
             print(f"# per-replica observables saved to {cfg.output.replica_dump}",
                   file=out)
-        if self._fused_trunc is not None:
-            fused_trunc = float(np.asarray(self._fused_trunc))
-            if fused_trunc > self._max_truncation:
-                self._max_truncation = fused_trunc
-        if self._max_truncation > 0:
+        if self._truncation_fraction() > 0:
             print(
                 f"# WARNING: up to {100 * self._max_truncation:.2f}% of replicas "
                 "hit max_events_per_frame in some frame — raise "

@@ -22,6 +22,7 @@ reference oracle and the fallback for anything the gate rejects."""
 from __future__ import annotations
 
 import dataclasses
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,8 @@ from cmdlmc_tpu.engine.lattice import EnsembleState
 from cmdlmc_tpu.ops import kmc_sweep as ks
 from cmdlmc_tpu.rates import laws as rate_laws
 from cmdlmc_tpu.topo.models import AnglePairRates, HydroniumRates, PairRates, TopKPairRates
+
+logger = logging.getLogger(__name__)
 
 
 def fused_unsupported_reason(model, cell: Cell, ens: EnsembleState) -> str | None:
@@ -99,6 +102,23 @@ def pick_layout(n_sites: int, interpret: bool) -> str:
     return "cols"
 
 
+def _nbr_reuse_auto(model, n_sites: int) -> bool:
+    """Default Verlet candidate-identity reuse policy for the top-K path
+    (ops/topk_sweep.py::topk_tables_verlet). Auto-on at supercell N for plain
+    TopKPairRates: there the per-frame identity churn makes the kernel's
+    occ[nbr] delta/full refresh matmuls the dominant cost (measured v5e
+    N=4608: delta refresh every frame; N=9216: FULL O(K*N^2) refresh every
+    frame), and a positive buffer gives the displacement-guarded reuse the
+    classic Verlet exactness bound. Off at small N (refresh cost is minor and
+    per-frame rebuild stays the exactness oracle) and for HydroniumRates
+    (k-closest selection feeds residence-time state; keep per-frame)."""
+    return (
+        isinstance(model, TopKPairRates)
+        and n_sites >= 1024
+        and float(model.buffer) > 0.0
+    )
+
+
 def _grouped_positions(model, extras_positions):
     """[B, N, 3] heavy-atom position of each donor's group (host-side gather —
     o_to_p is static, so this is one cheap XLA take per block)."""
@@ -141,6 +161,7 @@ def run_block_fused(
     streamed: bool | None = None,  # None = auto; force the streamed-W kernel
     stale_rates: bool = False,  # reference-style stale in-frame rates
     layout: str | None = None,  # None = auto; streamed kernel state layout
+    nbr_reuse: bool | None = None,  # None = auto; Verlet candidate reuse
 ) -> EnsembleState:
     """Advance all replicas across the block with the fused kernel. Returns the
     updated ensemble (no per-frame rows — the runner reads observables from
@@ -155,6 +176,14 @@ def run_block_fused(
     if isinstance(model, (TopKPairRates, HydroniumRates)):
         from cmdlmc_tpu.ops import topk_sweep as ts
 
+        if stale_rates:
+            logger.warning(
+                "stale_rates has no effect on the top-K kernels: in-frame "
+                "rates are recomputed after each event (distributionally "
+                "equivalent at rate*dt << 1)"
+            )
+        if nbr_reuse is None:
+            nbr_reuse = _nbr_reuse_auto(model, rep.occ.shape[1])
         if layout is None:
             layout = ts.pick_layout_topk(rep.occ.shape[1], interpret)
         cols = layout == "cols"
@@ -171,21 +200,27 @@ def run_block_fused(
                 cols=cols,
             )
         B = len(frames_positions)
+        # bit-exact frame sub-chunking (RNG keyed by global frame and event
+        # ordinal) keeps the block-resident candidate tables within VMEM at
+        # supercell N. run_block_topk slices stage-1 tables built ONCE over
+        # the whole block, so the per-block host round trip (Verlet rebuild
+        # schedule / sparse plan) is not paid per chunk. An outer super-chunk
+        # bounds the whole-block tables' HBM footprint (soak-scale blocks).
         chunk = ts.pick_frame_chunk(B, rep.occ.shape[1], int(model.k), cols)
-        if chunk < B:
-            # bit-exact frame sub-chunking (RNG keyed by global frame and
-            # event ordinal) keeps the block-resident candidate tables
-            # within VMEM at supercell N — same pattern as the streamed
-            # path's HBM-budget chunking below
+        n_sites = rep.occ.shape[1]
+        per_frame = 4 * ts._pad_k(int(model.k)) * n_sites * 4
+        outer = max(chunk, STREAMED_TABLE_BUDGET_BYTES // max(per_frame, 1))
+        if outer < B:
             trunc_total = None
-            for s in range(0, B, chunk):
-                e = min(s + chunk, B)
+            for s in range(0, B, outer):
+                e = min(s + outer, B)
                 ens, trunc = run_block_fused(
                     model, cell, ens, frames_positions[s:e],
                     frame0 + s, dt=dt, max_events=max_events, seed=seed,
                     tile=tile, interpret=interpret,
                     tile_offset=tile_offset, return_truncation=True,
                     hist_range=hist_range, layout=layout,
+                    nbr_reuse=nbr_reuse,
                 )
                 trunc_total = (
                     trunc if trunc_total is None else trunc_total + trunc
@@ -195,7 +230,8 @@ def run_block_fused(
             model, ens, frames_positions, frame0,
             dt=dt, max_events=max_events, seed=seed, tile=tile,
             interpret=interpret, tile_offset=tile_offset,
-            hist_range=hist_range, layout=layout,
+            hist_range=hist_range, layout=layout, reuse=nbr_reuse,
+            chunk=chunk,
         )
     else:
         if tile is None:
@@ -358,8 +394,10 @@ def _finish(ens, rep, out, return_truncation):
             jnp.round(out["jump_matrix"]).astype(rep.jump_matrix.dtype)
         )
     replicas = dataclasses.replace(rep, **updates)
-    ens_out = EnsembleState(
-        replicas=replicas, site_disp=out["site_disp"], prev_pos=out["prev_pos"]
+    ens_out = dataclasses.replace(
+        ens, replicas=replicas, site_disp=out["site_disp"],
+        prev_pos=out["prev_pos"],
+        nbr_carry=out.get("nbr_carry", ens.nbr_carry),
     )
     if return_truncation:
         return ens_out, out["trunc"]
@@ -594,7 +632,8 @@ def run_block_fused_sharded(
     return _finish_sharded(ens, res, nbins, track_matrix, return_truncation)
 
 
-def _finish_sharded(ens, res, nbins, track_matrix, return_truncation=False):
+def _finish_sharded(ens, res, nbins, track_matrix, return_truncation=False,
+                    nbr_carry="keep"):
     """Repack the shard_map result tuple (occ..trunc [+hist/expo] [+jm]) into
     an EnsembleState."""
     rep0 = ens.replicas
@@ -620,7 +659,10 @@ def _finish_sharded(ens, res, nbins, track_matrix, return_truncation=False):
             jnp.round(res[idx]).astype(rep0.jump_matrix.dtype)
         )
     replicas = dataclasses.replace(rep0, **updates)
-    ens_out = EnsembleState(replicas=replicas, site_disp=s, prev_pos=prev)
+    ens_out = dataclasses.replace(
+        ens, replicas=replicas, site_disp=s, prev_pos=prev,
+        nbr_carry=ens.nbr_carry if nbr_carry == "keep" else nbr_carry,
+    )
     if return_truncation:
         return ens_out, trunc
     return ens_out
@@ -755,10 +797,21 @@ def _run_sharded_topk(
     relax = jnp.float32(
         model.interpolator.relaxation_time if has_interp else 0.0
     )
-    topd, topi, resc, ci, cnbr, chg, mode = ts.topk_tables_delta(
-        model, positions, ts._pad_k(k_cand), not has_interp,
-        ts.default_cmax(positions.shape[1]),
-    )
+    # same auto Verlet-reuse rule as the single-device path (bit-identical
+    # contract at equal tile size); carry threads through ens.nbr_carry
+    new_carry = "keep"
+    if _nbr_reuse_auto(model, positions.shape[1]):
+        (topd, topi, resc, ci, cnbr, chg, mode, new_carry) = (
+            ts.topk_tables_verlet(
+                model, positions, ts._pad_k(k_cand), not has_interp,
+                ens.nbr_carry,
+            )
+        )
+    else:
+        topd, topi, resc, ci, cnbr, chg, mode = ts.topk_tables_delta(
+            model, positions, ts._pad_k(k_cand), not has_interp,
+            ts.default_cmax(positions.shape[1]),
+        )
     params = jnp.concatenate([
         ks.law_params_array(model.law), jnp.stack([relax, jnp.float32(0.0)])
     ])
@@ -832,4 +885,5 @@ def _run_sharded_topk(
         topd, topi, resc,
         ci, cnbr, chg, mode,
     )
-    return _finish_sharded(ens, res, nbins, track_matrix, return_truncation)
+    return _finish_sharded(ens, res, nbins, track_matrix, return_truncation,
+                           nbr_carry=new_carry)

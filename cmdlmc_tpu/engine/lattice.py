@@ -136,18 +136,43 @@ class ObsRow:
     msd4_mean: Array
 
 
-@_pytree(data_fields=["replicas", "site_disp", "prev_pos"])
+@_pytree(data_fields=["ref_pos", "ref_topi", "ref_valid"],
+         meta_fields=["thresh"])
+class NeighborCarry:
+    """Frozen K-nearest candidate lists for Verlet-style table reuse
+    (ops/topk_sweep.py::topk_tables_verlet) — the TPU analog of the
+    reference's neighbor-list reuse (topology.py:80-114: lists built with
+    ``cutoff + buffer`` stay valid while atoms move less than ``buffer/2``).
+
+    ref_pos f32[N,3] — donor positions at the last rebuild (the drift
+    reference); ref_topi f32[KL,N] — candidate site ids frozen at the last
+    rebuild; ref_valid f32[KL,N] — 1.0 where the slot held a real neighbor
+    at rebuild time; thresh — the drift threshold the lists stay valid for
+    (ops/topk_sweep.py::_rebuild_thresh, a python float). Replica-
+    independent, tiny, and carried inside :class:`EnsembleState` so block
+    chunking, checkpoint/resume and the sharded path all thread it for
+    free."""
+
+    ref_pos: Array
+    ref_topi: Array
+    ref_valid: Array
+    thresh: float = 0.0
+
+
+@_pytree(data_fields=["replicas", "site_disp", "prev_pos", "nbr_carry"])
 class EnsembleState:
     """Replica batch plus the shared trajectory-displacement carry.
 
     site_disp f32[N,3] — prefix sum of per-frame minimum-image donor-site
     displacements (identical for every replica; the key to O(events) instead of
     O(P) per-frame MSD bookkeeping). prev_pos f32[N,3] — donor positions of the
-    previous frame."""
+    previous frame. nbr_carry — optional :class:`NeighborCarry` (top-K fused
+    backend with Verlet table reuse; None elsewhere)."""
 
     replicas: ReplicaState
     site_disp: Array
     prev_pos: Array
+    nbr_carry: NeighborCarry | None = None
 
 
 def init_replicas(
@@ -512,7 +537,9 @@ def _block_scan(model, cell, ens, keys, frames, dt, max_events,
 
     carry = (ens.replicas, ens.site_disp, ens.prev_pos)
     (replicas, site_disp, prev_pos), ys = jax.lax.scan(step, carry, frames)
-    ens = EnsembleState(replicas=replicas, site_disp=site_disp, prev_pos=prev_pos)
+    ens = dataclasses.replace(
+        ens, replicas=replicas, site_disp=site_disp, prev_pos=prev_pos
+    )
     return ens, ys
 
 

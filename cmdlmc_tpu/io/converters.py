@@ -20,8 +20,11 @@ def save_xyz_to_hdf5(
     remove_com_movement: bool = False,
     dataset_name: str = TRAJECTORY_KEY,
     selection=None,
+    compression: str = "auto",
 ) -> str:
-    """Convert an xyz file to the reference HDF5 layout (float32, compressed)."""
+    """Convert an xyz file to the reference HDF5 layout (float32; see
+    io.hdf5.compression_kwargs for the compression choices — ``none`` is the
+    streaming fast layout for decode-bound hosts)."""
     xyz = XYZTrajectory(xyz_fname, time_step=1.0, selection=selection)
     logger.info("Determining length of xyz trajectory")
     n_frames = len(xyz)
@@ -60,6 +63,7 @@ def save_xyz_to_hdf5(
         first_shape,
         chain(),
         dataset_name=dataset_name,
+        compression=compression,
     )
     logger.info("Wrote %s (%d frames)", hdf5_fname, n_frames)
     return hdf5_fname

@@ -160,6 +160,34 @@ def _compression_kwargs():
     return {"compression": "gzip", "compression_opts": 4}
 
 
+def compression_kwargs(compression: str = "auto") -> dict:
+    """Dataset creation kwargs for a named compression choice.
+
+    ``auto``  — Blosc > LZF+shuffle > gzip (see :func:`_compression_kwargs`);
+    ``none``  — uncompressed: the streaming fast layout. MD position noise
+    compresses poorly (~10% on the soak trajectory) while the decode burns
+    the host CPU that also feeds the device — on a small host the
+    decompression thread IS the cold-cache streaming wall, and raw chunked
+    reads are a straight memcpy from the page cache / disk readahead;
+    ``blosc`` / ``lzf`` / ``gzip`` — force one filter (error if missing)."""
+    if compression in ("auto", None):
+        return _compression_kwargs()
+    if compression in ("none", "raw"):
+        return {}
+    if compression == "blosc":
+        if not h5py.h5z.filter_avail(BLOSC_FILTER):
+            raise ValueError("Blosc HDF5 filter (32001) is not available")
+        return {"compression": BLOSC_FILTER}
+    if compression == "lzf":
+        return {"compression": "lzf", "shuffle": True}
+    if compression == "gzip":
+        return {"compression": "gzip", "compression_opts": 4}
+    raise ValueError(
+        f"unknown compression {compression!r} "
+        "(choose auto, none, blosc, lzf or gzip)"
+    )
+
+
 def write_trajectory(
     hdf5_fname: str,
     atom_names: np.ndarray,
@@ -170,11 +198,13 @@ def write_trajectory(
     dataset_name: str = TRAJECTORY_KEY,
     log_every: int = 10000,
     slab_frames: int = 1000,
+    compression: str = "auto",
 ):
     """Create the reference-layout HDF5 file from an iterator of position
     arrays (converters.py:22-50). Frames are buffered into slabs so each HDF5
     write covers whole compressed chunks — frame-by-frame writes re-compress
-    every chunk per frame and are ~100x slower at scale."""
+    every chunk per frame and are ~100x slower at scale. ``compression``:
+    see :func:`compression_kwargs` (``none`` = the streaming fast layout)."""
     with h5py.File(hdf5_fname, "w") as f:
         names_bytes = np.asarray(atom_names).astype("S4")
         ds_names = f.create_dataset(ATOMNAMES_KEY, names_bytes.shape, dtype="S4")
@@ -185,7 +215,7 @@ def write_trajectory(
             shape=(n_frames, *frame_shape),
             dtype=np.float32,
             chunks=(chunk_frames, *frame_shape),
-            **_compression_kwargs(),
+            **compression_kwargs(compression),
         )
         slab = np.empty((slab_frames, *frame_shape), dtype=np.float32)
         filled = 0

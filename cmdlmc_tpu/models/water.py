@@ -147,8 +147,12 @@ def _candidates(model: WaterModel, shared, state_tuple):
     neighbors = nbr[site]  # [K]
 
     if model.relaxation_time > 0:
-        factor = jnp.minimum(
-            fsj.astype(jnp.float32) / float(model.relaxation_time), 1.0
+        # clip below too: fsj = -1 right after a jump so the FIRST frame
+        # after it evaluates at factor 0 (fully unrescaled), matching the
+        # reference's relaxation_counter which starts at 0 on the next
+        # generator pull (excess_kmc.py:205-221)
+        factor = jnp.clip(
+            fsj.astype(jnp.float32) / float(model.relaxation_time), 0.0, 1.0
         )
         d_eff = d_raw + factor * (d_resc - d_raw)
     else:
@@ -215,8 +219,14 @@ def water_frame_step(
         vec = cell_displacement(model.cell, positions[new_site], positions[site])
         norm = jnp.sqrt(jnp.sum(vec * vec)) + 1e-12
         corr = corr + 2.0 * model.d_oh * vec / norm
-        return (new_site, site, jnp.int32(0),
-                jnp.int32(model.waiting_time), jumps + 1, corr)
+        # fsj = -1 / wait = waiting+1: the end-of-frame counter pass runs on
+        # the jump frame too, so the NEXT frame sees fsj=0 (relaxation factor
+        # 0) and the next `waiting_time` frames see wait > 0 — the reference
+        # consumes both counters once per generator pull AFTER the jump frame
+        # (excess_kmc.py:205-246)
+        wait0 = model.waiting_time + 1 if model.waiting_time else 0
+        return (new_site, site, jnp.int32(-1),
+                jnp.int32(wait0), jumps + 1, corr)
 
     new_clock, aux, n_fired = kmc_clock.frame_step(
         state.clock, aux,

@@ -257,6 +257,170 @@ def _delta_epilogue(tables, cmax: int):
             changed[:, None, :].astype(jnp.float32), mode)
 
 
+# ---------------------------------------------------------------------------
+# Verlet-style table reuse (stage 1)
+# ---------------------------------------------------------------------------
+
+_VERLET_CMAX = 8  # dummy change-metadata width: verlet modes are only 0 / 2
+_VERLET_MAX_REBUILDS = 16  # per block; beyond this, rebuild every frame
+
+
+@jax.jit
+def _drift_per_frame(model, pos_block, ref):
+    """[B] max atom drift of every frame against a FIXED reference (the
+    positions at the segment's rebuild). No scan: between rebuilds the
+    reference does not move, so this is one vectorized reduction and the
+    rebuild search is a host argmax over a [B] fetch."""
+    from cmdlmc_tpu.core.cell import displacement
+
+    d = displacement(model.cell, ref[None], pos_block)
+    return jnp.sqrt(jnp.max(jnp.sum(d * d, axis=-1), axis=1))
+
+
+def _rebuild_thresh(model, topd_row, k: int) -> float:
+    """Drift threshold for which the frozen list still covers every pair
+    within CUTOFF. Per column the list's covering radius is the k-th
+    neighbor distance at rebuild (or cutoff+buffer where fewer than k
+    neighbors were in range — then everything in range is listed); a pair
+    within cutoff now was within cutoff + 2*drift at rebuild, so the frozen
+    set covers it while 2*drift <= cover - cutoff. The classic Verlet bound
+    (buffer/2, reference topology.py:80-114) is the cap — it applies when k
+    covers the whole cutoff+buffer shell. The floor (buffer/16) handles the
+    k-TRUNCATED regime (covering radius below cutoff): there per-frame
+    rebuild is itself an approximation of the dense model, and a small
+    drift window bounds the extra staleness without thrashing."""
+    buf = float(model.buffer)
+    kth = np.asarray(topd_row[:, min(k, topd_row.shape[1]) - 1, :])  # [nb, N]
+    cover = np.where(kth < 1.0e5, kth, float(model.cutoff) + buf)
+    margin = float(cover.min()) - float(model.cutoff)
+    return float(np.clip(margin / 2.0, buf / 16.0, buf / 2.0))
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def _verlet_epilogue(model, pos, seg, all_topi, all_valid, kl: int,
+                     precompute_law: bool, flags):
+    """Per-frame tables from frozen identities: broadcast each frame's
+    rebuild-segment identity/validity row, recompute the K pair distances at
+    those ids (O(B*K*N) gather + arithmetic instead of the O(B*N^2) distance
+    matrix + k-select), re-mask at cutoff+buffer, and run the shared
+    transform/law epilogue."""
+    from cmdlmc_tpu.core.cell import displacement
+
+    B, N, _ = pos.shape
+    topi = jnp.take(all_topi, seg, axis=0)  # [B, KL, N] f32
+    valid = jnp.take(all_valid, seg, axis=0)
+    ids = jnp.clip(jnp.round(topi).astype(jnp.int32), 0, N - 1)
+    flat = ids.reshape(B, kl * N)
+    nbr = jnp.take_along_axis(
+        pos, flat[..., None], axis=1
+    ).reshape(B, kl, N, 3)
+    d = displacement(model.cell, pos[:, None, :, :], nbr)
+    topd = jnp.sqrt(jnp.sum(d * d, axis=-1))  # [B, KL, N]
+    ok = jnp.logical_and(valid > 0, topd <= model.cutoff + model.buffer)
+    topd = jnp.where(ok, topd, _BIG)
+    topd, topi, resc = _tables_epilogue(model, topd, topi, kl, precompute_law)
+    mode = jnp.where(flags, 2, 0).astype(jnp.int32).at[0].set(2)
+    ci = jnp.full((B, 1, _VERLET_CMAX), N, jnp.int32)
+    cnbr = jnp.full((B, kl, _VERLET_CMAX), N, jnp.int32)
+    chg = jnp.zeros((B, 1, N), jnp.float32)
+    return topd, topi, resc, ci, cnbr, chg, mode
+
+
+def topk_tables_verlet(model, positions_block, kl: int, precompute_law: bool,
+                       carry):
+    """:func:`topk_tables_delta` with Verlet-style candidate reuse: the
+    K-nearest identity lists are FROZEN between displacement-triggered
+    rebuilds (see :func:`_rebuild_thresh` for the coverage bound — the
+    reference's own neighbor-list reuse guarantee, topology.py:80-114),
+    while the pair distances ARE recomputed every frame at the frozen ids.
+
+    This removes the two supercell walls of the churn-based delta path in one
+    move: candidate identities stop changing every frame (the kernel's
+    occ[nbr] refresh becomes mode 0 on all but rebuild frames — at N >= 4608
+    the per-frame delta/full refresh matmuls were over half the frame budget)
+    and the O(N^2) distance build + k-select runs only on rebuild frames.
+
+    ``carry`` is the :class:`engine.lattice.NeighborCarry` from the previous
+    block (None = rebuild at the block's first frame). The rebuild schedule is
+    a pure function of (carry, frames), so results are independent of block
+    chunking; the carry rides inside EnsembleState and is checkpointed, so
+    resumed runs continue bit-exactly.
+
+    Returns (topd, topi, resc, ci, cnbr, chg, mode, new_carry) — the delta
+    tuple with modes only 0/2 plus the updated carry."""
+    from cmdlmc_tpu.engine.lattice import NeighborCarry
+
+    pos = jnp.asarray(positions_block, jnp.float32)
+    B, N, _ = pos.shape
+    k = min(int(model.k), N - 1)
+
+    rows_i, rows_v = [], []
+    flags_np = np.zeros(B, bool)
+    if carry is not None:
+        rows_i.append(jnp.asarray(carry.ref_topi))
+        rows_v.append(jnp.asarray(carry.ref_valid))
+        ref = jnp.asarray(carry.ref_pos)
+        thresh = float(carry.thresh)
+        start = 0
+    else:
+        start = None  # force a rebuild at frame 0 below
+    seg = np.zeros(B, np.int64)
+
+    def rebuild(f):
+        """Build frozen tables at frame f; returns the new drift threshold."""
+        rb_topd, rb_topi, _ = topk_tables(model, pos[f : f + 1], kl, False)
+        rows_i.append(rb_topi[0])
+        rows_v.append((rb_topd[0] < 1.0e5).astype(jnp.float32))
+        flags_np[f] = True
+        seg[f:] = len(rows_i) - 1
+        return _rebuild_thresh(model, rb_topd, k)
+
+    if start is None:
+        thresh = rebuild(0)
+        ref = pos[0]
+        start = 1
+    rebuilds = 0
+    while start < B:
+        # one [B] fetch per segment: the rebuild schedule is a host-side
+        # dispatch decision (same pattern as the sparse stage-1 plan)
+        drifts = np.asarray(_drift_per_frame(model, pos, ref))
+        beyond = np.nonzero(drifts[start:] > thresh)[0]
+        if beyond.size == 0:
+            break
+        f = start + int(beyond[0])
+        rebuilds += 1
+        if rebuilds > _VERLET_MAX_REBUILDS:
+            # thrash guard: rebuild every remaining frame in one batched
+            # builder call (equivalent to the non-reuse per-frame build)
+            nb = B - f
+            rb_topd, rb_topi, _ = topk_tables(model, pos[f:], kl, False)
+            for j in range(nb):
+                rows_i.append(rb_topi[j])
+                rows_v.append((rb_topd[j] < 1.0e5).astype(jnp.float32))
+            flags_np[f:] = True
+            seg[f:] = np.arange(len(rows_i) - nb, len(rows_i))
+            ref = pos[B - 1]
+            thresh = _rebuild_thresh(model, rb_topd[-1:], k)
+            break
+        thresh = rebuild(f)
+        ref = pos[f]
+        start = f + 1
+
+    all_topi = jnp.stack(rows_i)
+    all_valid = jnp.stack(rows_v)
+    tables = _verlet_epilogue(
+        model, pos, jnp.asarray(seg, jnp.int32), all_topi, all_valid,
+        kl, precompute_law, jnp.asarray(flags_np),
+    )
+    new_carry = NeighborCarry(
+        ref_pos=ref,
+        ref_topi=all_topi[-1],
+        ref_valid=all_valid[-1],
+        thresh=float(thresh),
+    )
+    return (*tables, new_carry)
+
+
 def _make_kernel(*, n_sites, n_protons, tile, block, max_events, kind, k_cand,
                  dt, seed, has_interp, nbins, hist_range, track_matrix,
                  orthorhombic=True, cmax=256, cols=False):
@@ -1167,16 +1331,29 @@ def run_block_topk(
     hist_range: tuple = (2.0, 3.0),
     cmax: int | None = None,
     layout: str | None = None,
+    reuse: bool = False,
+    chunk: int | None = None,
 ):
     """EnsembleState adapter: stage-1 XLA tables + stage-2 Pallas sweep.
     Returns the kmc_sweep-style output dict. ``cmax < 0`` disables the
     incremental occ[nbr] maintenance (full per-frame refresh — the exactness
     oracle; results are bit-identical either way). ``layout=None`` auto-picks
-    via :func:`pick_layout_topk`."""
+    via :func:`pick_layout_topk`. ``reuse=True`` freezes candidate identities
+    between displacement-triggered rebuilds (:func:`topk_tables_verlet`) —
+    the carry threads through ``ens.nbr_carry`` and the returned dict.
+
+    ``chunk`` caps the per-kernel-launch frame count (the resident candidate
+    tables must fit VMEM — engine.fused passes :func:`pick_frame_chunk`).
+    Stage 1 still runs ONCE over the whole block and the kernel consumes
+    table slices: one host round trip (the Verlet rebuild-schedule fetch /
+    the sparse-plan build) per block instead of per chunk, and every chunk
+    entry forces a full occ[nbr] refresh (mode 2), which is bit-identical to
+    the delta-maintained state — the engine's chunk-invariance property."""
     rep = ens.replicas
     nbins = rep.jump_hist.shape[-1]
     track_matrix = rep.jump_matrix.shape[-1] != 0
     positions = jnp.asarray(frames_positions, jnp.float32)
+    B = positions.shape[0]
     k_cand = min(int(model.k), positions.shape[1] - 1)
     relax = jnp.float32(0.0)
     has_interp = isinstance(model, HydroniumRates) and model.interpolator is not None
@@ -1186,30 +1363,21 @@ def run_block_topk(
         cmax = default_cmax(positions.shape[1])
     if layout is None:
         layout = pick_layout_topk(positions.shape[1], bool(interpret))
-    topd, topi, resc, ci, cnbr, chg, mode = topk_tables_delta(
-        model, positions, _pad_k(k_cand), not has_interp, cmax
-    )
+    new_carry = None
+    if reuse:
+        (topd, topi, resc, ci, cnbr, chg, mode, new_carry) = topk_tables_verlet(
+            model, positions, _pad_k(k_cand), not has_interp, ens.nbr_carry
+        )
+    else:
+        topd, topi, resc, ci, cnbr, chg, mode = topk_tables_delta(
+            model, positions, _pad_k(k_cand), not has_interp, cmax
+        )
     params = jnp.concatenate([
         law_params_array(model.law),
         jnp.stack([relax, jnp.float32(0.0)]),
     ])
-    return topk_sweep(
-        positions, topd, topi, resc,
-        ci, cnbr, chg, mode,
-        ens.prev_pos, ens.site_disp,
-        rep.occ,
-        rep.proton_of_site.astype(jnp.float32),
-        rep.site_of_proton,
-        rep.t_last_jump,
-        _entry_tlast_site(rep),
-        rep.disp_base,
-        rep.clock.u_remaining,
-        rep.clock.event_count,
-        params,
-        jnp.int32(frame0),
-        model.cell.h,
-        model.cell.h_inv,
-        tile_offset,
+
+    sweep_kwargs = dict(
         jump_hist=rep.jump_hist if nbins else None,
         exposure=rep.opportunity_hist if nbins else None,
         kind=law_kind(model.law),
@@ -1226,3 +1394,59 @@ def run_block_topk(
         orthorhombic=bool(model.cell.orthorhombic),
         layout=layout,
     )
+    state = (
+        ens.prev_pos, ens.site_disp,
+        rep.occ,
+        rep.proton_of_site.astype(jnp.float32),
+        rep.site_of_proton,
+        rep.t_last_jump,
+        _entry_tlast_site(rep),
+        rep.disp_base,
+        rep.clock.u_remaining,
+        rep.clock.event_count,
+    )
+    chunk = B if chunk is None else min(chunk, B)
+    out = None
+    trunc_total = None
+    jm_total = None
+    for lo in range(0, B, chunk):
+        hi = min(lo + chunk, B)
+        m = mode[lo:hi]
+        if lo > 0:
+            # kernel entry: the occ[nbr] scratch is cold — force the full
+            # refresh exactly as topk_tables_delta does for a block's frame 0
+            m = m.at[0].set(2)
+        out = topk_sweep(
+            positions[lo:hi], topd[lo:hi], topi[lo:hi], resc[lo:hi],
+            ci[lo:hi], cnbr[lo:hi], chg[lo:hi], m,
+            *state,
+            params,
+            jnp.int32(frame0 + lo),
+            model.cell.h,
+            model.cell.h_inv,
+            tile_offset,
+            **sweep_kwargs,
+        )
+        state = (
+            out["prev_pos"], out["site_disp"],
+            out["occ"], out["labels"], out["sites"], out["tlast"],
+            out["tlast_site"], out["disp_base"],
+            out["u_rem"], out["ev_count"],
+        )
+        if nbins:
+            sweep_kwargs["jump_hist"] = out["jump_hist"]
+            sweep_kwargs["exposure"] = out["exposure"]
+        trunc_total = (
+            out["trunc"] if trunc_total is None else trunc_total + out["trunc"]
+        )
+        if track_matrix:
+            jm_total = (
+                out["jump_matrix"] if jm_total is None
+                else jm_total + out["jump_matrix"]
+            )
+    out["trunc"] = trunc_total
+    if track_matrix:
+        out["jump_matrix"] = jm_total
+    if new_carry is not None:
+        out["nbr_carry"] = new_carry
+    return out

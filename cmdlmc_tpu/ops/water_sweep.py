@@ -174,7 +174,11 @@ def _make_kernel(*, n_sites, tile, block, k_atoms, kind, tkind, dt, seed,
             cand_i = gather_k(topi_scr[:], oh_site)
 
             if relax > 0:
-                factor = jnp.minimum(fsj.astype(f32) / f32(relax), 1.0)
+                # clip below too: fsj = -1 right after a jump so the FIRST
+                # frame after it evaluates at factor 0 (fully unrescaled),
+                # matching the reference's relaxation_counter which starts
+                # at 0 on the next generator pull (excess_kmc.py:205-221)
+                factor = jnp.clip(fsj.astype(f32) / f32(relax), 0.0, 1.0)
                 d_eff = cand_d + factor * (cand_r - cand_d)
             else:
                 d_eff = cand_r
@@ -291,8 +295,15 @@ def _make_kernel(*, n_sites, tile, block, k_atoms, kind, tkind, dt, seed,
 
             last_out[:] = jnp.where(fire, site, last)
             site_out[:] = jnp.where(fire, dst, site)
-            fsj_out[:] = jnp.where(fire, 0, fsj)
-            wait_out[:] = jnp.where(fire, jnp.int32(waiting), wait)
+            # fsj = -1 / wait = waiting+1: the end-of-frame counter pass
+            # (fsj += 1, wait -= 1) runs on the jump frame too, so these
+            # offsets make the NEXT frame see fsj=0 (relaxation factor 0) and
+            # the next `waiting` frames see wait > 0 — the reference consumes
+            # both counters once per generator pull AFTER the jump frame
+            # (excess_kmc.py:205-246)
+            fsj_out[:] = jnp.where(fire, -1, fsj)
+            wait_out[:] = jnp.where(
+                fire, jnp.int32(waiting + 1 if waiting else 0), wait)
             jumps_out[:] = jumps_out[:] + fire.astype(jnp.int32)
             evc_out[:] = evc_out[:] + fire.astype(jnp.int32)
 

@@ -62,4 +62,12 @@ def shard_ensemble(ens, mesh: Mesh, axis: str = REPLICA_AXIS):
         replicas=shard_replicas(ens.replicas, mesh, axis),
         site_disp=jax.device_put(ens.site_disp, NamedSharding(mesh, P())),
         prev_pos=jax.device_put(ens.prev_pos, NamedSharding(mesh, P())),
+        nbr_carry=(
+            None if ens.nbr_carry is None
+            # replica-independent: replicate like the trajectory carry
+            else jax.tree.map(
+                lambda x: jax.device_put(x, NamedSharding(mesh, P())),
+                ens.nbr_carry,
+            )
+        ),
     )

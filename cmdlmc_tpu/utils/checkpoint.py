@@ -20,6 +20,8 @@ import numpy as np
 
 
 def _flatten(prefix: str, obj, out: dict):
+    if obj is None:  # optional field (e.g. EnsembleState.nbr_carry)
+        return
     if dataclasses.is_dataclass(obj):
         for f in dataclasses.fields(obj):
             _flatten(f"{prefix}{f.name}.", getattr(obj, f.name), out)
@@ -29,9 +31,10 @@ def _flatten(prefix: str, obj, out: dict):
 
 def _nested_class(field_name):
     from cmdlmc_tpu.engine.clock import ClockState
-    from cmdlmc_tpu.engine.lattice import ReplicaState
+    from cmdlmc_tpu.engine.lattice import NeighborCarry, ReplicaState
 
-    return {"clock": ClockState, "replicas": ReplicaState}[field_name]
+    return {"clock": ClockState, "replicas": ReplicaState,
+            "nbr_carry": NeighborCarry}[field_name]
 
 
 def _rebuild(cls, prefix: str, data: dict):
@@ -40,8 +43,20 @@ def _rebuild(cls, prefix: str, data: dict):
         key = f"{prefix}{f.name}"
         if any(k.startswith(key + ".") for k in data):
             kwargs[f.name] = _rebuild(_nested_class(f.name), key + ".", data)
+        elif key in data:
+            val = data[key]
+            if np.ndim(val) == 0 and isinstance(f.default, float):
+                # scalar meta field (e.g. NeighborCarry.thresh): restore as a
+                # plain float — pytree meta fields must stay hashable
+                kwargs[f.name] = float(val)
+            else:
+                kwargs[f.name] = jax.numpy.asarray(val)
+        elif f.default is None:
+            # optional field absent from the file (None at save time, or a
+            # checkpoint written before the field existed)
+            kwargs[f.name] = None
         else:
-            kwargs[f.name] = jax.numpy.asarray(data[key])
+            raise KeyError(f"checkpoint is missing required field {key!r}")
     return cls(**kwargs)
 
 

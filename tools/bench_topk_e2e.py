@@ -23,6 +23,11 @@ ap.add_argument("--blocks", type=int, default=3)
 ap.add_argument("--tile", type=int, default=None)
 ap.add_argument("--k", type=int, default=8)
 ap.add_argument("--drift", type=float, default=0.004)
+ap.add_argument("--pull", type=float, default=0.0,
+                help="mean reversion toward the base geometry per frame "
+                "(0 = free random walk; 0.9995 ~ solid-like vibration)")
+ap.add_argument("--no-reuse", action="store_true",
+                help="disable Verlet candidate reuse (per-frame rebuild)")
 args = ap.parse_args()
 if args.platform:
     jax.config.update("jax_platforms", args.platform)
@@ -43,26 +48,42 @@ model = TopKPairRates(
     law=Fermi(a=jnp.float32(0.06), b=jnp.float32(2.3), c=jnp.float32(0.1)),
     cutoff=jnp.float32(3.0), buffer=jnp.float32(2.0), k=args.k,
 )
-walk = np.cumsum(
-    rng.normal(scale=args.drift,
-               size=((args.blocks + 1) * B, N, 3)).astype(np.float32),
-    axis=0,
-)
-frames_all = positions[None] + walk
+n_tot = (args.blocks + 1) * B
+if args.pull:
+    # stationary (OU-like) vibration around the base geometry: the solid-acid
+    # regime this driver targets; per-frame step = drift, saturating spread
+    frames_all = np.empty((n_tot, N, 3), np.float32)
+    x = np.zeros((N, 3), np.float32)
+    for f in range(n_tot):
+        x = args.pull * x + rng.normal(scale=args.drift, size=(N, 3)).astype(np.float32)
+        frames_all[f] = positions + x
+else:
+    walk = np.cumsum(
+        rng.normal(scale=args.drift,
+                   size=(n_tot, N, 3)).astype(np.float32),
+        axis=0,
+    )
+    frames_all = positions[None] + walk
 blocks = [np.ascontiguousarray(frames_all[i * B:(i + 1) * B])
           for i in range(args.blocks + 1)]
 
 ens = init_replicas(jax.random.key(0), R, N, P, jnp.asarray(blocks[0][0]))
 t0 = time.time()
+# two warmup passes over block 0: with Verlet table reuse the first pass
+# compiles the carry=None stage-1 path, the second the carry-threaded one —
+# both must be cached before the timed region
+reuse = False if args.no_reuse else None  # None = engine auto rule
 ens = run_block_fused(model, cell, ens, blocks[0], 0, dt=0.5, seed=3,
-                      tile=args.tile)
+                      tile=args.tile, nbr_reuse=reuse)
+ens = run_block_fused(model, cell, ens, blocks[0], 0, dt=0.5, seed=3,
+                      tile=args.tile, nbr_reuse=reuse)
 jumps0 = float(np.asarray(ens.replicas.jumps, np.float64).sum())
 t1 = time.time()
 print(f"warmup (compile): {t1 - t0:.1f} s", flush=True)
 t2 = time.time()
 for i in range(1, args.blocks + 1):
     ens = run_block_fused(model, cell, ens, blocks[i], i * B, dt=0.5,
-                          seed=3, tile=args.tile)
+                          seed=3, tile=args.tile, nbr_reuse=reuse)
 jumps = float(np.asarray(ens.replicas.jumps, np.float64).sum())  # sync
 t3 = time.time()
 frames = args.blocks * B

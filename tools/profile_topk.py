@@ -23,6 +23,8 @@ ap.add_argument("--max-events", type=int, default=4)
 ap.add_argument("--layout", default="rows", help="kernel state layout")
 ap.add_argument("--drift", type=float, default=None,
                 help="random-walk step scale per frame (MD-like temporal correlation) instead of independent jitter")
+ap.add_argument("--verlet", action="store_true",
+                help="stage 1 via topk_tables_verlet (frozen identities)")
 args = ap.parse_args()
 if args.platform:
     jax.config.update("jax_platforms", args.platform)
@@ -63,14 +65,28 @@ else:
 
 kl = ts._pad_k(args.k)
 cmax = ts.default_cmax(N)
-tables_j = jax.jit(lambda p: ts.topk_tables_delta(model, p, kl, True, cmax))
+# NOT wrapped in jax.jit: the stage-1 dispatch (dense Pallas vs sparse-plan)
+# happens on the host in topk_tables, and the sparse spatial plan needs
+# concrete positions; the builders themselves are jitted internally.
+if args.verlet:
+    _carry = [None]
+
+    def tables_j(p):
+        out = ts.topk_tables_verlet(model, p, kl, True, _carry[0])
+        _carry[0] = out[-1]
+        return out[:7]
+else:
+    tables_j = lambda p: ts.topk_tables_delta(model, p, kl, True, cmax)
 
 
 def sync(x):
     return float(np.asarray(x).ravel()[0])
 
 
-# ---- stage 1: tables
+# ---- stage 1: tables (two warmup calls: the Verlet path compiles separate
+# carry=None / carry-threaded programs)
+tabs = tables_j(blocks[0])
+sync(tabs[0])
 tabs = tables_j(blocks[0])
 sync(tabs[0])
 t0 = time.perf_counter()

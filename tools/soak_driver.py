@@ -26,6 +26,14 @@ ap.add_argument("--block-size", type=int, default=2000)
 ap.add_argument("--print-frequency", type=int, default=2000)
 ap.add_argument("--reset-frequency", type=int, default=50_000)
 ap.add_argument("--workdir", default=None, help="keep artifacts here")
+ap.add_argument("--compression", default="auto",
+                choices=("auto", "none", "blosc", "lzf", "gzip"),
+                help="trajectory HDF5 compression ('none' = streaming fast "
+                "layout: raw chunked reads, no decode on the prefetch thread)")
+ap.add_argument("--drop-cache", action="store_true",
+                help="evict the trajectory from the OS page cache before the "
+                "run (posix_fadvise DONTNEED) — measures the true cold-IO "
+                "streaming path")
 args = ap.parse_args()
 
 if args.platform:
@@ -37,7 +45,9 @@ from cmdlmc_tpu.io.hdf5 import write_trajectory
 
 work = args.workdir or tempfile.mkdtemp(prefix="soak_")
 os.makedirs(work, exist_ok=True)
-traj_path = os.path.join(work, "soak.hdf5")
+# compression choice baked into the name so switching never reuses a stale file
+suffix = "" if args.compression == "auto" else f".{args.compression}"
+traj_path = os.path.join(work, f"soak{suffix}.hdf5")
 
 rng = np.random.RandomState(0)
 N = args.sites
@@ -52,9 +62,21 @@ if not os.path.exists(traj_path):
         for _ in range(args.frames):
             yield base + rng.normal(scale=0.03, size=base.shape).astype(np.float32)
 
-    write_trajectory(traj_path, names, args.frames, (N, 3), frames())
+    write_trajectory(traj_path, names, args.frames, (N, 3), frames(),
+                     compression=args.compression)
     print(f"# trajectory written: {os.path.getsize(traj_path)/1e9:.2f} GB "
           f"in {time.perf_counter()-t0:.0f}s", flush=True)
+
+if args.drop_cache:
+    # evict the file's pages so the run reads from disk, not RAM (no root
+    # needed, unlike /proc/sys/vm/drop_caches)
+    fd = os.open(traj_path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+        os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+    finally:
+        os.close(fd)
+    print("# page cache dropped for", traj_path, flush=True)
 
 config = f"""
 [Trajectory]
