@@ -235,6 +235,13 @@ class EngineSection:
     # product per event); differs from the scan oracle only at O(rate*dt)
     # within multi-event frames. Fused streamed backend only.
     stale_rates: bool = False
+    # Verlet candidate-identity reuse on the top-K fused path (auto | on |
+    # off). "auto" enables it at supercell N (>= 1024 sites) for buffered
+    # TopKPairRates, where per-frame identity churn dominates the frame
+    # budget; lists stay frozen between displacement-triggered rebuilds
+    # within the classic coverage bound (docs/DESIGN.md 6b). "off" forces
+    # per-frame rebuilds (the exactness oracle); "on" forces reuse.
+    nbr_reuse: str = "auto"
 
 
 _SECTIONS = {

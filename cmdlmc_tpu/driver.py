@@ -265,6 +265,11 @@ class Simulation:
                 ) from None
             if n < 1:
                 raise ValueError("[Engine] devices must be >= 1")
+        if cfg.engine.nbr_reuse not in ("auto", "on", "off"):
+            raise ValueError(
+                f"[Engine] nbr_reuse must be 'auto', 'on' or 'off', "
+                f"got {cfg.engine.nbr_reuse!r}"
+            )
         self.cfg = cfg
         self.cell = build_cell(cfg)
         self.law = build_law(cfg)
@@ -559,6 +564,9 @@ class Simulation:
                         ),
                         hist_range=tuple(self.hist_range),
                         stale_rates=cfg.engine.stale_rates,
+                        nbr_reuse={"auto": None, "on": True, "off": False}[
+                            cfg.engine.nbr_reuse
+                        ],
                     )
                     if mesh is not None:
                         states, trunc = eng_fused.run_block_fused_sharded(

@@ -119,6 +119,24 @@ def _nbr_reuse_auto(model, n_sites: int) -> bool:
     )
 
 
+_reuse_auto_logged = False
+
+
+def _log_reuse_auto_once():
+    """One INFO line per process when the auto rule turns Verlet reuse on —
+    it changes numerics vs per-frame rebuild in the k-truncated regime
+    (within the coverage bound, docs/DESIGN.md 6b) so the switch should be
+    visible in run logs. [Engine] nbr_reuse = off disables."""
+    global _reuse_auto_logged
+    if not _reuse_auto_logged:
+        logger.info(
+            "Verlet candidate-identity reuse auto-enabled for the top-K "
+            "fused path (supercell N, buffered lists); set "
+            "[Engine] nbr_reuse = off for per-frame rebuilds"
+        )
+        _reuse_auto_logged = True
+
+
 def _grouped_positions(model, extras_positions):
     """[B, N, 3] heavy-atom position of each donor's group (host-side gather —
     o_to_p is static, so this is one cheap XLA take per block)."""
@@ -184,6 +202,8 @@ def run_block_fused(
             )
         if nbr_reuse is None:
             nbr_reuse = _nbr_reuse_auto(model, rep.occ.shape[1])
+            if nbr_reuse:
+                _log_reuse_auto_once()
         if layout is None:
             layout = ts.pick_layout_topk(rep.occ.shape[1], interpret)
         cols = layout == "cols"
@@ -424,6 +444,7 @@ def run_block_fused_sharded(
     streamed: bool | None = None,
     stale_rates: bool = False,
     layout: str | None = None,
+    nbr_reuse: bool | None = None,
 ) -> EnsembleState:
     """Multi-chip fused sweep: shard the replica axis over the mesh and run the
     Pallas kernel per device under shard_map. Tile ids are offset per shard so
@@ -488,7 +509,7 @@ def run_block_fused_sharded(
                     model, cell, ens, frames_positions[s:e], frame0 + s,
                     mesh, axis=axis, dt=dt, max_events=max_events, seed=seed,
                     tile=tile, interpret=interpret, hist_range=hist_range,
-                    return_truncation=True, layout=layout,
+                    return_truncation=True, layout=layout, nbr_reuse=nbr_reuse,
                 )
                 trunc_total = (
                     trunc if trunc_total is None else trunc_total + trunc
@@ -500,7 +521,7 @@ def run_block_fused_sharded(
             interpret=interpret, hist_range=hist_range,
             tiles_per_dev=tiles_per_dev, nbins=nbins,
             track_matrix=track_matrix, return_truncation=return_truncation,
-            layout=layout,
+            layout=layout, nbr_reuse=nbr_reuse,
         )
     if streamed is None and stale_rates:
         streamed = True
@@ -769,6 +790,7 @@ def _run_sharded_topk(
     model, cell, ens, frames_positions, frame0, mesh, *,
     axis, dt, max_events, seed, tile, interpret, hist_range, tiles_per_dev,
     nbins, track_matrix=False, return_truncation=False, layout=None,
+    nbr_reuse=None,
 ):
     """Top-K fused kernels under shard_map: stage-1 candidate tables are
     replica-independent (built once, replicated); the kernel shards over
@@ -797,14 +819,19 @@ def _run_sharded_topk(
     relax = jnp.float32(
         model.interpolator.relaxation_time if has_interp else 0.0
     )
-    # same auto Verlet-reuse rule as the single-device path (bit-identical
-    # contract at equal tile size); carry threads through ens.nbr_carry
+    # same auto Verlet-reuse rule (and explicit knob) as the single-device
+    # path — bit-identical contract at equal tile size; carry threads
+    # through ens.nbr_carry
+    if nbr_reuse is None:
+        nbr_reuse = _nbr_reuse_auto(model, positions.shape[1])
+        if nbr_reuse:
+            _log_reuse_auto_once()
     new_carry = "keep"
-    if _nbr_reuse_auto(model, positions.shape[1]):
+    if nbr_reuse:
         (topd, topi, resc, ci, cnbr, chg, mode, new_carry) = (
             ts.topk_tables_verlet(
                 model, positions, ts._pad_k(k_cand), not has_interp,
-                ens.nbr_carry,
+                ens.nbr_carry, int(frame0),
             )
         )
     else:

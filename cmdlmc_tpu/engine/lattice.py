@@ -44,9 +44,13 @@ def _pytree(cls=None, *, data_fields, meta_fields=()):
     if cls is None:
         return partial(_pytree, data_fields=data_fields, meta_fields=meta_fields)
     cls = dataclasses.dataclass(frozen=True)(cls)
-    return jax.tree_util.register_dataclass(
+    cls = jax.tree_util.register_dataclass(
         cls, data_fields=list(data_fields), meta_fields=list(meta_fields)
     )
+    # the declared split, introspectable by utils/checkpoint.py: meta fields
+    # must come back as hashable python scalars, data fields as arrays
+    cls._meta_fields = tuple(meta_fields)
+    return cls
 
 
 @_pytree(
@@ -137,7 +141,7 @@ class ObsRow:
 
 
 @_pytree(data_fields=["ref_pos", "ref_topi", "ref_valid"],
-         meta_fields=["thresh"])
+         meta_fields=["thresh", "last_rebuild", "thrash_until"])
 class NeighborCarry:
     """Frozen K-nearest candidate lists for Verlet-style table reuse
     (ops/topk_sweep.py::topk_tables_verlet) — the TPU analog of the
@@ -148,7 +152,11 @@ class NeighborCarry:
     reference); ref_topi f32[KL,N] — candidate site ids frozen at the last
     rebuild; ref_valid f32[KL,N] — 1.0 where the slot held a real neighbor
     at rebuild time; thresh — the drift threshold the lists stay valid for
-    (ops/topk_sweep.py::_rebuild_thresh, a python float). Replica-
+    (ops/topk_sweep.py::_rebuild_thresh, a python float); last_rebuild —
+    ABSOLUTE frame index of the most recent rebuild; thrash_until — absolute
+    frame index until which the thrash guard rebuilds per frame (both python
+    floats, so the thrash schedule is a pure function of the carry and the
+    absolute frame range — chunking- and checkpoint-invariant). Replica-
     independent, tiny, and carried inside :class:`EnsembleState` so block
     chunking, checkpoint/resume and the sharded path all thread it for
     free."""
@@ -157,6 +165,8 @@ class NeighborCarry:
     ref_topi: Array
     ref_valid: Array
     thresh: float = 0.0
+    last_rebuild: float = -1.0e18
+    thrash_until: float = 0.0
 
 
 @_pytree(data_fields=["replicas", "site_disp", "prev_pos", "nbr_carry"])

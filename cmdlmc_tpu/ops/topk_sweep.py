@@ -262,7 +262,16 @@ def _delta_epilogue(tables, cmax: int):
 # ---------------------------------------------------------------------------
 
 _VERLET_CMAX = 8  # dummy change-metadata width: verlet modes are only 0 / 2
-_VERLET_MAX_REBUILDS = 16  # per block; beyond this, rebuild every frame
+# Thrash guard: a drift-triggered rebuild within _THRASH_GAP frames of the
+# previous one signals the threshold floor can't keep up (fast drift / tiny
+# buffer); the builder then rebuilds EVERY frame until the absolute frame
+# index reaches last-trigger + _THRASH_SPAN, then probes the drift guard
+# again. Both bounds are keyed on ABSOLUTE frame indices and the trigger
+# state (last_rebuild, thrash_until) rides in NeighborCarry, so the rebuild
+# schedule stays a pure function of (carry, frame0, frames) — chunking- and
+# checkpoint-invariant even in the thrashing regime.
+_THRASH_GAP = 4
+_THRASH_SPAN = 128
 
 
 @jax.jit
@@ -327,7 +336,7 @@ def _verlet_epilogue(model, pos, seg, all_topi, all_valid, kl: int,
 
 
 def topk_tables_verlet(model, positions_block, kl: int, precompute_law: bool,
-                       carry):
+                       carry, frame0: int = 0):
     """:func:`topk_tables_delta` with Verlet-style candidate reuse: the
     K-nearest identity lists are FROZEN between displacement-triggered
     rebuilds (see :func:`_rebuild_thresh` for the coverage bound — the
@@ -341,10 +350,13 @@ def topk_tables_verlet(model, positions_block, kl: int, precompute_law: bool,
     and the O(N^2) distance build + k-select runs only on rebuild frames.
 
     ``carry`` is the :class:`engine.lattice.NeighborCarry` from the previous
-    block (None = rebuild at the block's first frame). The rebuild schedule is
-    a pure function of (carry, frames), so results are independent of block
-    chunking; the carry rides inside EnsembleState and is checkpointed, so
-    resumed runs continue bit-exactly.
+    block (None = rebuild at the block's first frame); ``frame0`` is the
+    block's absolute frame index (the thrash guard's window bounds are keyed
+    on absolute frames). The rebuild schedule is a pure function of
+    (carry, frame0, frames), so results are independent of block chunking —
+    including the thrashing regime, whose trigger state rides in the carry;
+    the carry lives inside EnsembleState and is checkpointed, so resumed
+    runs continue bit-exactly.
 
     Returns (topd, topi, resc, ci, cnbr, chg, mode, new_carry) — the delta
     tuple with modes only 0/2 plus the updated carry."""
@@ -356,14 +368,6 @@ def topk_tables_verlet(model, positions_block, kl: int, precompute_law: bool,
 
     rows_i, rows_v = [], []
     flags_np = np.zeros(B, bool)
-    if carry is not None:
-        rows_i.append(jnp.asarray(carry.ref_topi))
-        rows_v.append(jnp.asarray(carry.ref_valid))
-        ref = jnp.asarray(carry.ref_pos)
-        thresh = float(carry.thresh)
-        start = 0
-    else:
-        start = None  # force a rebuild at frame 0 below
     seg = np.zeros(B, np.int64)
 
     def rebuild(f):
@@ -375,11 +379,39 @@ def topk_tables_verlet(model, positions_block, kl: int, precompute_law: bool,
         seg[f:] = len(rows_i) - 1
         return _rebuild_thresh(model, rb_topd, k)
 
-    if start is None:
+    def rebuild_span(f, hi):
+        """Per-frame rebuilds for frames [f, hi) in one batched builder call
+        (the thrash window); returns the threshold from the last frame."""
+        rb_topd, rb_topi, _ = topk_tables(model, pos[f:hi], kl, False)
+        for j in range(hi - f):
+            rows_i.append(rb_topi[j])
+            rows_v.append((rb_topd[j] < 1.0e5).astype(jnp.float32))
+        flags_np[f:hi] = True
+        seg[f:hi] = np.arange(len(rows_i) - (hi - f), len(rows_i))
+        seg[hi:] = len(rows_i) - 1
+        return _rebuild_thresh(model, rb_topd[-1:], k)
+
+    if carry is not None:
+        rows_i.append(jnp.asarray(carry.ref_topi))
+        rows_v.append(jnp.asarray(carry.ref_valid))
+        ref = jnp.asarray(carry.ref_pos)
+        thresh = float(carry.thresh)
+        last_rb = float(carry.last_rebuild)
+        thrash_until = float(carry.thrash_until)
+        start = 0
+    else:
+        thrash_until = 0.0
         thresh = rebuild(0)
         ref = pos[0]
+        last_rb = float(frame0)
         start = 1
-    rebuilds = 0
+    if frame0 + start < thrash_until:
+        # resume an in-progress thrash window from a previous chunk
+        hi = min(B, int(thrash_until) - frame0)
+        thresh = rebuild_span(start, hi)
+        ref = pos[hi - 1]
+        last_rb = float(frame0 + hi - 1)
+        start = hi
     while start < B:
         # one [B] fetch per segment: the rebuild schedule is a host-side
         # dispatch decision (same pattern as the sparse stage-1 plan)
@@ -388,22 +420,21 @@ def topk_tables_verlet(model, positions_block, kl: int, precompute_law: bool,
         if beyond.size == 0:
             break
         f = start + int(beyond[0])
-        rebuilds += 1
-        if rebuilds > _VERLET_MAX_REBUILDS:
-            # thrash guard: rebuild every remaining frame in one batched
-            # builder call (equivalent to the non-reuse per-frame build)
-            nb = B - f
-            rb_topd, rb_topi, _ = topk_tables(model, pos[f:], kl, False)
-            for j in range(nb):
-                rows_i.append(rb_topi[j])
-                rows_v.append((rb_topd[j] < 1.0e5).astype(jnp.float32))
-            flags_np[f:] = True
-            seg[f:] = np.arange(len(rows_i) - nb, len(rows_i))
-            ref = pos[B - 1]
-            thresh = _rebuild_thresh(model, rb_topd[-1:], k)
-            break
+        af = frame0 + f
+        if af - last_rb <= _THRASH_GAP:
+            # thrash guard: the drift window emptied within a few frames of
+            # the previous rebuild — rebuild every frame to the end of the
+            # absolute-frame window, then probe the drift guard again
+            thrash_until = float(af + _THRASH_SPAN)
+            hi = min(B, int(thrash_until) - frame0)
+            thresh = rebuild_span(f, hi)
+            ref = pos[hi - 1]
+            last_rb = float(frame0 + hi - 1)
+            start = hi
+            continue
         thresh = rebuild(f)
         ref = pos[f]
+        last_rb = float(af)
         start = f + 1
 
     all_topi = jnp.stack(rows_i)
@@ -417,6 +448,8 @@ def topk_tables_verlet(model, positions_block, kl: int, precompute_law: bool,
         ref_topi=all_topi[-1],
         ref_valid=all_valid[-1],
         thresh=float(thresh),
+        last_rebuild=float(last_rb),
+        thrash_until=float(thrash_until),
     )
     return (*tables, new_carry)
 
@@ -1366,7 +1399,8 @@ def run_block_topk(
     new_carry = None
     if reuse:
         (topd, topi, resc, ci, cnbr, chg, mode, new_carry) = topk_tables_verlet(
-            model, positions, _pad_k(k_cand), not has_interp, ens.nbr_carry
+            model, positions, _pad_k(k_cand), not has_interp, ens.nbr_carry,
+            int(frame0),
         )
     else:
         topd, topi, resc, ci, cnbr, chg, mode = topk_tables_delta(

@@ -45,16 +45,22 @@ def _rebuild(cls, prefix: str, data: dict):
             kwargs[f.name] = _rebuild(_nested_class(f.name), key + ".", data)
         elif key in data:
             val = data[key]
-            if np.ndim(val) == 0 and isinstance(f.default, float):
-                # scalar meta field (e.g. NeighborCarry.thresh): restore as a
-                # plain float — pytree meta fields must stay hashable
-                kwargs[f.name] = float(val)
+            if f.name in getattr(cls, "_meta_fields", ()):
+                # declared pytree meta field (e.g. NeighborCarry.thresh):
+                # restore as the hashable python scalar it was saved from —
+                # keyed on the registration, not on the default's type
+                kwargs[f.name] = val.item() if np.ndim(val) == 0 else val
             else:
                 kwargs[f.name] = jax.numpy.asarray(val)
         elif f.default is None:
             # optional field absent from the file (None at save time, or a
             # checkpoint written before the field existed)
             kwargs[f.name] = None
+        elif f.default is not dataclasses.MISSING:
+            # scalar field added after the checkpoint was written (e.g.
+            # NeighborCarry.last_rebuild): its dataclass default preserves
+            # the pre-field behavior
+            kwargs[f.name] = f.default
         else:
             raise KeyError(f"checkpoint is missing required field {key!r}")
     return cls(**kwargs)

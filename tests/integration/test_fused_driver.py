@@ -111,3 +111,25 @@ def test_engine_tile_must_divide_replicas(tmp_path):
             io.StringIO(config(traj, "fused", extra="tile = 3")),
             out=io.StringIO(),
         )
+
+
+def test_engine_nbr_reuse_knob(tmp_path):
+    """[Engine] nbr_reuse: bad values rejected; 'on' threads a NeighborCarry
+    through the top-K fused path from the INI surface (visible as a run that
+    completes with finite output), 'off' keeps per-frame rebuilds."""
+    import pytest
+
+    traj = make_traj(tmp_path)
+    with pytest.raises(ValueError, match="nbr_reuse"):
+        run_from_config(
+            io.StringIO(config(traj, "fused", extra="nbr_reuse = bogus")),
+            out=io.StringIO(),
+        )
+    topk = "max_neighbors = 5\n"
+    for mode in ("on", "off", "auto"):
+        cfg = config(traj, "fused", extra=f"nbr_reuse = {mode}")
+        cfg = cfg.replace("buffer = 2.0", "buffer = 2.0\n" + topk)
+        out = io.StringIO()
+        run_from_config(io.StringIO(cfg), out=out)
+        arr = np.array(rows_of(out.getvalue()))
+        assert arr.shape[0] == 4 and np.all(np.isfinite(arr)), mode

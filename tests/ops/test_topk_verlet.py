@@ -115,6 +115,35 @@ def test_out_of_range_entries_masked():
     assert np.asarray(resc)[1, slot[0], 0] == 0.0
 
 
+def test_thrash_guard_chunk_invariant(setup):
+    """In the thrashing regime (drift triggers a rebuild within a few frames
+    of the previous one) the per-frame-rebuild window is keyed on ABSOLUTE
+    frame indices with the trigger state carried in NeighborCarry, so the
+    schedule — and the tables — cannot depend on chunk boundaries."""
+    cell, model, frames = setup
+    rng = np.random.RandomState(11)
+    nb = 2 * B
+    big = frames[0][None] + np.cumsum(
+        rng.normal(scale=0.6, size=(nb, N, 3)).astype(np.float32), axis=0
+    )
+    whole = ts.topk_tables_verlet(model, big, KL, True, None, 0)
+    assert np.asarray(whole[6]).sum() > 2 * ts._THRASH_GAP  # guard engaged
+    for split in (3, 7, 13):
+        a = ts.topk_tables_verlet(model, big[:split], KL, True, None, 0)
+        b = ts.topk_tables_verlet(model, big[split:], KL, True, a[-1], split)
+        assert np.array_equal(np.asarray(whole[1][split:]), np.asarray(b[1])), split
+        assert np.allclose(np.asarray(whole[0][split:]), np.asarray(b[0])), split
+        # modes may differ only at the chunk-entry frame (forced rebuild row
+        # broadcast); the identity/distance tables above are the contract
+        assert np.array_equal(
+            np.asarray(whole[6][split + 1:]), np.asarray(b[6][1:])
+        ), split
+        # carried thrash state matches the uninterrupted walk
+        assert b[-1].last_rebuild == whole[-1].last_rebuild
+        assert b[-1].thrash_until == whole[-1].thrash_until
+        assert b[-1].thresh == pytest.approx(whole[-1].thresh, rel=1e-6)
+
+
 def test_run_block_reuse_chunk_invariant_and_carry(setup):
     cell, model, frames = setup
     ens = eng.init_replicas(jax.random.key(0), R, N, P, jnp.asarray(frames[0]))
