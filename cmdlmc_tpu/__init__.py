@@ -17,3 +17,33 @@ solids; see /root/reference/mdlmc/__init__.py:3-4) as a JAX/XLA/Pallas framework
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compile_cache():
+    """Point JAX at an on-disk compilation cache unless the user already
+    configured one. TPU compiles of the sweep kernels run 30-100 s (more
+    through a tunneled backend); the cache turns every repeat launch of the
+    same program — reruns, resumed soaks, CLI invocations — into a
+    sub-second deserialization. Opt out with JAX_COMPILATION_CACHE_DIR=''
+    (empty) or by setting the env var / config yourself."""
+    import os
+
+    env = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if env is not None:  # user decided (set or explicitly empty)
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir:
+            return
+        path = os.path.join(
+            os.path.expanduser("~"), ".cache", "cmdlmc_tpu", "jax_cache"
+        )
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization, never a hard dependency
+        pass
+
+
+_enable_persistent_compile_cache()

@@ -305,6 +305,303 @@ def _rebuild_thresh(model, topd_row, k: int) -> float:
     return float(np.clip(margin / 2.0, buf / 16.0, buf / 2.0))
 
 
+def _plane_min_image(d, length, h_inv_row=None):
+    """Single-coordinate minimum image (orthorhombic): the plane-form twin
+    of core.cell.minimum_image's per-component formula — identical ops per
+    element, so results are bit-equal to the trailing-3 version."""
+    return d - length * jnp.round(d / length)
+
+
+def _drift_over(model, post, refp, thresh):
+    """[B] (max-atom-drift > thresh) flags in PLANE form (post [3, B, N],
+    refp [3, N]): the site axis rides the 128 lanes instead of a trailing
+    dim of 3 (3/128 lanes live = 42x dead VPU work). The per-element op
+    sequence matches the trailing-3 displacement exactly — sum over the 3
+    components in fixed (x+y)+z order, max/min reductions are exact — so
+    every caller computes the same f32 drifts and the rebuild schedule is
+    implementation-independent. Orthorhombic cells only (the top-K Verlet
+    path's gate); triclinic falls back to the trailing-3 displacement."""
+    if model.cell.orthorhombic:
+        L = jnp.diagonal(model.cell.h)
+        dx = _plane_min_image(post[0] - refp[0][None], L[0])
+        dy = _plane_min_image(post[1] - refp[1][None], L[1])
+        dz = _plane_min_image(post[2] - refp[2][None], L[2])
+        d2 = (dx * dx + dy * dy) + dz * dz
+    else:
+        from cmdlmc_tpu.core.cell import displacement
+
+        pos = jnp.transpose(post, (1, 2, 0))
+        ref = jnp.transpose(refp, (1, 0))
+        d = displacement(model.cell, ref[None], pos)
+        d2 = jnp.sum(d * d, axis=-1)
+    return jnp.sqrt(jnp.max(d2, axis=1)) > thresh
+
+
+def _thresh_of(model, td, k: int):
+    """Device-side :func:`_rebuild_thresh` (f32): the SAME arithmetic in
+    every stage-1 implementation (host loop, device scheduler), so mixed
+    paths cannot diverge on the rebuild schedule. td: [KL, N]."""
+    buf = model.buffer
+    kth = td[min(k, td.shape[0]) - 1, :]  # [N]
+    cover = jnp.where(kth < 1.0e5, kth, model.cutoff + buf)
+    margin = jnp.min(cover) - model.cutoff
+    return jnp.clip(margin / 2.0, buf / 16.0, buf / 2.0)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _thresh_and_flags(model, post, rb_topd, k: int, refp):
+    """Device-side threshold + drift guard, packed into ONE [B+1] array
+    ((drift > thresh) flags then thresh) so a rebuild segment costs a
+    single small host fetch instead of one [B]-drift fetch plus a [KL, N]
+    table-row fetch — on a tunneled backend the round trips were a third
+    of the stage-1 budget at supercell N."""
+    thresh = _thresh_of(model, rb_topd[0], k)
+    flags = _drift_over(model, post, refp, thresh)
+    return jnp.concatenate([flags.astype(jnp.float32), thresh[None]])
+
+
+@jax.jit
+def _drift_flags(model, post, refp, thresh):
+    """[B] (drift > thresh) flags for a carried segment (thresh already
+    known on the host) — one small fetch."""
+    return _drift_over(model, post, refp, jnp.float32(thresh)).astype(
+        jnp.float32
+    )
+
+
+# Above this many rebuild segments per call the one-hot-matmul distance
+# path would dispatch per segment for little reuse (the thrashing regime);
+# fall back to the fused per-frame gather epilogue there.
+_MM_SEG_MAX = 6
+
+# Row capacity of the device-resident rebuild scheduler (one jit program
+# computes the whole block's schedule AND builds the rebuild rows — ONE
+# host round trip per block instead of one per segment). More rebuilds
+# than this (or an active thrash window) bails out to the host loop.
+_SCHED_ROWS = 8
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _device_schedule(model, pos, kl: int, k: int, use_pallas: bool,
+                     has_carry: bool, carry_ri, carry_rv, carry_refp,
+                     carry_meta, frame0):
+    """Whole-block Verlet rebuild schedule + row builds in ONE device
+    program. The host loop in :func:`topk_tables_verlet` pays one
+    synchronous round trip PER SEGMENT (the schedule is sequential: the
+    next rebuild frame depends on the previous rebuild's threshold) — on a
+    tunneled backend at ~25 ms per sync that was the dominant stage-1 cost.
+    Here the sequential walk runs as a bounded fori_loop on device, using
+    the SAME builder (`knn_block_tables` dense Pallas / XLA fallback — the
+    same dispatch `topk_tables` would make) and the SAME f32 threshold and
+    drift arithmetic as the host loop (:func:`_thresh_of`,
+    :func:`_drift_over`), so the schedule is bit-identical whichever path
+    computes it and chunk invariance survives mixed (device/bail) regimes.
+
+    Returns (rows_i [S, KL, N], rows_v [S, KL, N], ref [N, 3],
+    packed [2B+4]) where packed = (seg [B], rebuild-flags [B], n_rows,
+    thresh, last_rb, bail) — everything the host needs in one small fetch.
+    bail=1 when the schedule cannot be represented (thrash trigger, row
+    overflow, or an active thrash window): the host loop recomputes from
+    scratch then (no device state escapes)."""
+    B, N, _ = pos.shape
+    S = _SCHED_ROWS
+    post = jnp.transpose(pos, (2, 0, 1))  # [3, B, N] plane form
+    lengths = jnp.diagonal(model.cell.h)
+    arange_b = jnp.arange(B, dtype=jnp.int32)
+
+    def build(f):
+        pos1 = jax.lax.dynamic_slice_in_dim(pos, f, 1, axis=0)
+        if use_pallas:
+            from cmdlmc_tpu.ops.knn_tables import knn_block_tables
+
+            td, ti = knn_block_tables(
+                pos1, lengths, model.cutoff + model.buffer,
+                k=min(k, N - 1), kl=kl,
+            )
+        else:
+            td, ti, _ = _topk_tables_xla(model, pos1, kl, False)
+        return td[0], ti[0]
+
+    if has_carry:
+        rows_i = jnp.zeros((S, kl, N), jnp.float32).at[0].set(carry_ri)
+        rows_v = jnp.zeros((S, kl, N), jnp.float32).at[0].set(carry_rv)
+        refp = carry_refp
+        thresh = carry_meta[0]
+        last_rb = carry_meta[1]
+        # an in-progress thrash window cannot be represented here
+        bail0 = (jnp.float32(frame0) < carry_meta[2])
+        cursor = jnp.int32(0)
+        n_rows = jnp.int32(1)
+        rbf = jnp.zeros(B, jnp.bool_)
+    else:
+        td0, ti0 = build(0)
+        rows_i = jnp.zeros((S, kl, N), jnp.float32).at[0].set(ti0)
+        rows_v = (
+            jnp.zeros((S, kl, N), jnp.float32)
+            .at[0].set((td0 < 1.0e5).astype(jnp.float32))
+        )
+        refp = post[:, 0, :]
+        thresh = _thresh_of(model, td0, k)
+        last_rb = jnp.float32(frame0)
+        bail0 = jnp.bool_(False)
+        cursor = jnp.int32(1)
+        n_rows = jnp.int32(1)
+        rbf = jnp.zeros(B, jnp.bool_).at[0].set(True)
+    seg = jnp.zeros(B, jnp.int32)
+
+    def body(_, st):
+        (rows_i, rows_v, n_rows, seg, rbf, refp, thresh, last_rb,
+         cursor, bail, done) = st
+
+        def active(st):
+            (rows_i, rows_v, n_rows, seg, rbf, refp, thresh, last_rb,
+             cursor, bail, done) = st
+            flags = _drift_over(model, post, refp, thresh)
+            cand = jnp.logical_and(flags, arange_b >= cursor)
+            has = jnp.any(cand)
+            f = jnp.argmax(cand).astype(jnp.int32)
+            af = jnp.float32(frame0) + f.astype(jnp.float32)
+            gap = af - last_rb
+            thrash = jnp.logical_and(
+                has, jnp.logical_and(gap >= 0.0, gap <= _THRASH_GAP)
+            )
+            overflow = jnp.logical_and(has, n_rows >= S)
+            new_bail = jnp.logical_or(thrash, overflow)
+
+            def do_build(st):
+                (rows_i, rows_v, n_rows, seg, rbf, refp, thresh,
+                 last_rb, cursor, bail, done) = st
+                td, ti = build(f)
+                rows_i = jax.lax.dynamic_update_slice_in_dim(
+                    rows_i, ti[None], n_rows, axis=0
+                )
+                rows_v = jax.lax.dynamic_update_slice_in_dim(
+                    rows_v, (td < 1.0e5).astype(jnp.float32)[None],
+                    n_rows, axis=0,
+                )
+                seg = jnp.where(arange_b >= f, n_rows, seg)
+                rbf = rbf.at[f].set(True)
+                return (rows_i, rows_v, n_rows + 1, seg, rbf,
+                        jax.lax.dynamic_slice_in_dim(
+                            post, f, 1, axis=1
+                        )[:, 0, :],
+                        _thresh_of(model, td, k), af, f + 1, bail, done)
+
+            st = (rows_i, rows_v, n_rows, seg, rbf, refp, thresh,
+                  last_rb, cursor, bail, done)
+            st = jax.lax.cond(
+                jnp.logical_and(has, jnp.logical_not(new_bail)),
+                do_build, lambda s: s, st,
+            )
+            (rows_i, rows_v, n_rows, seg, rbf, refp, thresh, last_rb,
+             cursor, bail, done) = st
+            return (rows_i, rows_v, n_rows, seg, rbf, refp, thresh,
+                    last_rb, cursor, jnp.logical_or(bail, new_bail),
+                    jnp.logical_or(jnp.logical_not(has), new_bail))
+
+        return jax.lax.cond(done, lambda s: s, active, st)
+
+    st = (rows_i, rows_v, n_rows, seg, rbf, refp, thresh, last_rb,
+          cursor, bail0, bail0)
+    st = jax.lax.fori_loop(0, S, body, st)
+    (rows_i, rows_v, n_rows, seg, rbf, refp, thresh, last_rb,
+     _cursor, bail, _done) = st
+    packed = jnp.concatenate([
+        seg.astype(jnp.float32),
+        rbf.astype(jnp.float32),
+        jnp.stack([
+            n_rows.astype(jnp.float32), thresh, last_rb,
+            bail.astype(jnp.float32),
+        ]),
+    ])
+    return rows_i, rows_v, jnp.transpose(refp, (1, 0)), packed
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _segment_topd(model, pos, row_topi, kl: int, row_valid):
+    """[B, KL, N] frozen-id pair distances for ONE rebuild segment via a
+    one-hot MXU gather. Every frame of a segment shares the same candidate
+    ids, so the [KL*N, N] selection matrix is built once and the gather is
+    a single matmul with the whole block's coordinates as RHS columns —
+    XLA's native take_along_axis gather issues ~2.4 G gathered-elem/s on
+    v5e (≈1 ms/frame at N=4608) while this runs at MXU/HBM speed
+    (~25 us/frame). bf16 one-hot x f32 coordinates with f32 accumulation:
+    selection reproduces each coordinate to <= 1 ulp (tolerances in the
+    physics are orders of magnitude above)."""
+    from cmdlmc_tpu.core.cell import displacement
+
+    B, N, _ = pos.shape
+    ids = jnp.clip(jnp.round(row_topi), 0, N - 1).astype(jnp.int32)  # [KL, N]
+    onehot = (
+        ids.reshape(kl * N, 1) == jnp.arange(N, dtype=jnp.int32)[None, :]
+    ).astype(jnp.bfloat16)
+    rhs = jnp.transpose(pos, (1, 0, 2)).reshape(N, B * 3)
+    nbr = jnp.dot(onehot, rhs, preferred_element_type=jnp.float32)
+    nbr = nbr.reshape(kl, N, B, 3).transpose(2, 0, 1, 3)  # [B, KL, N, 3]
+    d = displacement(model.cell, pos[:, None, :, :], nbr)
+    topd = jnp.sqrt(jnp.sum(d * d, axis=-1))
+    ok = jnp.logical_and(
+        row_valid[None] > 0, topd <= model.cutoff + model.buffer
+    )
+    return jnp.where(ok, topd, _BIG)
+
+
+@jax.jit
+def _select_segment(seg, s, part, acc):
+    """acc[b] = part[b] where seg[b] == s (host-loop combine of the
+    per-segment distance grids)."""
+    return jnp.where((seg == s)[:, None, None], part, acc)
+
+
+@functools.partial(jax.jit, static_argnums=(8, 9))
+def _chunk_slices(positions, topd, topi, resc, ci, cnbr, chg, mode,
+                  lo: int, hi: int):
+    """All 8 per-chunk table slices (+ the forced full-refresh entry mode)
+    in ONE dispatch — per-op dispatch latency on a tunneled backend made 8
+    separate slice calls per chunk a measurable tax."""
+    m = mode[lo:hi]
+    if lo > 0:
+        # kernel entry: the occ[nbr] scratch is cold — force the full
+        # refresh exactly as topk_tables_delta does for a block's frame 0
+        m = m.at[0].set(2)
+    return (positions[lo:hi], topd[lo:hi], topi[lo:hi], resc[lo:hi],
+            ci[lo:hi], cnbr[lo:hi], chg[lo:hi], m)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _mm_epilogue(model, pos, rows_i, rows_v, kl: int, n_real: int,
+                 precompute_law: bool, seg, flags):
+    """The whole mm stage-1 tail — per-segment one-hot gathers, segment
+    combine, transform/law epilogue, delta metadata — as ONE jit program.
+    Dispatch count matters on a tunneled backend (~5 ms per call): the
+    unfused version paid 2*n_real+1 round trips per block. n_real is
+    static (1..`_MM_SEG_MAX`): a handful of cached variants."""
+    acc = None
+    for s in range(n_real):
+        part = _segment_topd(model, pos, rows_i[s], kl, rows_v[s])
+        acc = part if acc is None else _select_segment(seg, s, part, acc)
+    return _verlet_finish(model, acc, seg, rows_i, kl, precompute_law, flags)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _verlet_finish(model, topd_raw, seg, all_topi, kl: int,
+                   precompute_law: bool, flags):
+    """Shared tail of the Verlet stage-1: broadcast the per-frame identity
+    rows, run the transform/law epilogue on an already-computed masked
+    distance grid, and emit the delta-tuple metadata (modes only 0/2)."""
+    B = topd_raw.shape[0]
+    N = topd_raw.shape[2]
+    topi = jnp.take(all_topi, seg, axis=0)  # [B, KL, N] f32
+    topd, topi, resc = _tables_epilogue(
+        model, topd_raw, topi, kl, precompute_law
+    )
+    mode = jnp.where(flags, 2, 0).astype(jnp.int32).at[0].set(2)
+    ci = jnp.full((B, 1, _VERLET_CMAX), N, jnp.int32)
+    cnbr = jnp.full((B, kl, _VERLET_CMAX), N, jnp.int32)
+    chg = jnp.zeros((B, 1, N), jnp.float32)
+    return topd, topi, resc, ci, cnbr, chg, mode
+
+
 @functools.partial(jax.jit, static_argnums=(5, 6))
 def _verlet_epilogue(model, pos, seg, all_topi, all_valid, kl: int,
                      precompute_law: bool, flags):
@@ -366,18 +663,75 @@ def topk_tables_verlet(model, positions_block, kl: int, precompute_law: bool,
     B, N, _ = pos.shape
     k = min(int(model.k), N - 1)
 
+    from cmdlmc_tpu.topo.models import TopKPairRates as _TKP
+
+    post = jnp.transpose(pos, (2, 0, 1))  # [3, B, N] plane form
+
+    # Fast path: the device-resident scheduler — one dispatch + one small
+    # fetch per block (the host loop below costs one ~25 ms synchronous
+    # round trip PER SEGMENT through a tunneled backend). Gated to plain
+    # orthorhombic TopKPairRates (the supercell family); it bails (and the
+    # host loop recomputes from scratch) on thrash or row overflow.
+    if type(model) is _TKP and model.cell.orthorhombic:
+        from cmdlmc_tpu.engine.lattice import NeighborCarry as _NC
+        from cmdlmc_tpu.ops.knn_tables import use_knn_pallas
+
+        if carry is not None:
+            carry_ri = jnp.asarray(carry.ref_topi)
+            carry_rv = jnp.asarray(carry.ref_valid)
+            carry_refp = jnp.transpose(jnp.asarray(carry.ref_pos), (1, 0))
+            carry_meta = jnp.asarray(
+                [carry.thresh, carry.last_rebuild, carry.thrash_until],
+                jnp.float32,
+            )
+        else:
+            carry_ri = carry_rv = jnp.zeros((kl, N), jnp.float32)
+            carry_refp = jnp.zeros((3, N), jnp.float32)
+            carry_meta = jnp.zeros(3, jnp.float32)
+        d_ri, d_rv, d_ref, d_packed = _device_schedule(
+            model, pos, kl, k, use_knn_pallas(model, N),
+            carry is not None, carry_ri, carry_rv, carry_refp,
+            carry_meta, jnp.int32(frame0),
+        )
+        packed = np.asarray(d_packed)
+        if packed[-1] < 0.5:  # no bail
+            n_real = int(packed[2 * B])
+            seg_arr = jnp.asarray(packed[:B].astype(np.int32))
+            flags_arr = jnp.asarray(packed[B:2 * B] > 0.5)
+            tables = _mm_epilogue(
+                model, pos, d_ri, d_rv, kl, n_real, precompute_law,
+                seg_arr, flags_arr,
+            )
+            new_carry = _NC(
+                ref_pos=d_ref,
+                ref_topi=d_ri[n_real - 1],
+                ref_valid=d_rv[n_real - 1],
+                thresh=float(packed[2 * B + 1]),
+                last_rebuild=float(packed[2 * B + 2]),
+                thrash_until=(
+                    float(carry.thrash_until) if carry is not None else 0.0
+                ),
+            )
+            return (*tables, new_carry)
+        # bail: thrash or overflow — recompute the whole block on the host
+        # loop below (the canonical slow path; no device state escapes)
+
     rows_i, rows_v = [], []
-    flags_np = np.zeros(B, bool)
+    rb_flags = np.zeros(B, bool)
     seg = np.zeros(B, np.int64)
 
     def rebuild(f):
-        """Build frozen tables at frame f; returns the new drift threshold."""
+        """Build frozen tables at frame f; returns (thresh, over-flags) from
+        ONE packed [B+1] fetch (thresh computed on device)."""
         rb_topd, rb_topi, _ = topk_tables(model, pos[f : f + 1], kl, False)
         rows_i.append(rb_topi[0])
         rows_v.append((rb_topd[0] < 1.0e5).astype(jnp.float32))
-        flags_np[f] = True
+        rb_flags[f] = True
         seg[f:] = len(rows_i) - 1
-        return _rebuild_thresh(model, rb_topd, k)
+        packed = np.asarray(
+            _thresh_and_flags(model, post, rb_topd, k, post[:, f, :])
+        )
+        return float(packed[-1]), packed[:-1] > 0.5
 
     def rebuild_span(f, hi):
         """Per-frame rebuilds for frames [f, hi) in one batched builder call
@@ -386,7 +740,7 @@ def topk_tables_verlet(model, positions_block, kl: int, precompute_law: bool,
         for j in range(hi - f):
             rows_i.append(rb_topi[j])
             rows_v.append((rb_topd[j] < 1.0e5).astype(jnp.float32))
-        flags_np[f:hi] = True
+        rb_flags[f:hi] = True
         seg[f:hi] = np.arange(len(rows_i) - (hi - f), len(rows_i))
         seg[hi:] = len(rows_i) - 1
         return _rebuild_thresh(model, rb_topd[-1:], k)
@@ -399,9 +753,12 @@ def topk_tables_verlet(model, positions_block, kl: int, precompute_law: bool,
         last_rb = float(carry.last_rebuild)
         thrash_until = float(carry.thrash_until)
         start = 0
+        over = np.asarray(
+            _drift_flags(model, post, jnp.transpose(ref, (1, 0)), thresh)
+        ) > 0.5
     else:
         thrash_until = 0.0
-        thresh = rebuild(0)
+        thresh, over = rebuild(0)
         ref = pos[0]
         last_rb = float(frame0)
         start = 1
@@ -412,16 +769,21 @@ def topk_tables_verlet(model, positions_block, kl: int, precompute_law: bool,
         ref = pos[hi - 1]
         last_rb = float(frame0 + hi - 1)
         start = hi
+        over = np.asarray(
+            _drift_flags(model, post, jnp.transpose(ref, (1, 0)), thresh)
+        ) > 0.5
     while start < B:
-        # one [B] fetch per segment: the rebuild schedule is a host-side
-        # dispatch decision (same pattern as the sparse stage-1 plan)
-        drifts = np.asarray(_drift_per_frame(model, pos, ref))
-        beyond = np.nonzero(drifts[start:] > thresh)[0]
+        # one small packed fetch per segment: the rebuild schedule is a
+        # host-side dispatch decision (same pattern as the sparse plan)
+        beyond = np.nonzero(over[start:])[0]
         if beyond.size == 0:
             break
         f = start + int(beyond[0])
         af = frame0 + f
-        if af - last_rb <= _THRASH_GAP:
+        # 0 <= gap: a NEGATIVE gap means frames are being replayed out of
+        # order against a newer carry (warmup passes, ad-hoc tool use) —
+        # that's not drift thrash, so keep the plain drift-guard mode there
+        if 0 <= af - last_rb <= _THRASH_GAP:
             # thrash guard: the drift window emptied within a few frames of
             # the previous rebuild — rebuild every frame to the end of the
             # absolute-frame window, then probe the drift guard again
@@ -431,18 +793,42 @@ def topk_tables_verlet(model, positions_block, kl: int, precompute_law: bool,
             ref = pos[hi - 1]
             last_rb = float(frame0 + hi - 1)
             start = hi
+            over = np.asarray(
+            _drift_flags(model, post, jnp.transpose(ref, (1, 0)), thresh)
+        ) > 0.5
             continue
-        thresh = rebuild(f)
+        thresh, over = rebuild(f)
         ref = pos[f]
         last_rb = float(af)
         start = f + 1
 
+    # pad the rebuild-row stack to a power-of-two bucket: the epilogue
+    # programs are jitted on the stack shape, and the rebuild count varies
+    # block to block — without bucketing every new count would trigger a
+    # fresh TPU compile (30-100 s each through the tunnel). Dummy rows
+    # repeat the last rebuild and are never indexed by seg.
+    n_real = len(rows_i)
+    bucket = max(8, 1 << max(n_real - 1, 0).bit_length())
+    rows_i.extend([rows_i[-1]] * (bucket - len(rows_i)))
+    rows_v.extend([rows_v[-1]] * (bucket - len(rows_v)))
     all_topi = jnp.stack(rows_i)
     all_valid = jnp.stack(rows_v)
-    tables = _verlet_epilogue(
-        model, pos, jnp.asarray(seg, jnp.int32), all_topi, all_valid,
-        kl, precompute_law, jnp.asarray(flags_np),
-    )
+    seg_arr = jnp.asarray(seg, jnp.int32)
+    flags_arr = jnp.asarray(rb_flags)
+    if n_real <= _MM_SEG_MAX:
+        # few segments (the steady-state regime): one-hot MXU gather per
+        # segment over the whole block, combined by segment id — one fused
+        # dispatch
+        tables = _mm_epilogue(
+            model, pos, all_topi, all_valid, kl, n_real, precompute_law,
+            seg_arr, flags_arr,
+        )
+    else:
+        # thrashing regime: per-frame fused-gather epilogue
+        tables = _verlet_epilogue(
+            model, pos, seg_arr, all_topi, all_valid,
+            kl, precompute_law, flags_arr,
+        )
     new_carry = NeighborCarry(
         ref_pos=ref,
         ref_topi=all_topi[-1],
@@ -1445,14 +1831,14 @@ def run_block_topk(
     jm_total = None
     for lo in range(0, B, chunk):
         hi = min(lo + chunk, B)
-        m = mode[lo:hi]
-        if lo > 0:
-            # kernel entry: the occ[nbr] scratch is cold — force the full
-            # refresh exactly as topk_tables_delta does for a block's frame 0
-            m = m.at[0].set(2)
+        sliced = (
+            (positions, topd, topi, resc, ci, cnbr, chg, mode)
+            if chunk == B else
+            _chunk_slices(positions, topd, topi, resc, ci, cnbr, chg, mode,
+                          lo, hi)
+        )
         out = topk_sweep(
-            positions[lo:hi], topd[lo:hi], topi[lo:hi], resc[lo:hi],
-            ci[lo:hi], cnbr[lo:hi], chg[lo:hi], m,
+            *sliced,
             *state,
             params,
             jnp.int32(frame0 + lo),

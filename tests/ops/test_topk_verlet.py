@@ -60,9 +60,9 @@ def test_small_drift_freezes_identities(setup):
 
 def test_carry_makes_chunking_invariant(setup):
     cell, model, frames = setup
-    whole = ts.topk_tables_verlet(model, frames[:B], KL, True, None)
-    a = ts.topk_tables_verlet(model, frames[:6], KL, True, None)
-    b = ts.topk_tables_verlet(model, frames[6:B], KL, True, a[-1])
+    whole = ts.topk_tables_verlet(model, frames[:B], KL, True, None, 0)
+    a = ts.topk_tables_verlet(model, frames[:6], KL, True, None, 0)
+    b = ts.topk_tables_verlet(model, frames[6:B], KL, True, a[-1], 6)
     assert np.allclose(np.asarray(whole[0][6:]), np.asarray(b[0]))
     assert np.array_equal(np.asarray(whole[1][6:]), np.asarray(b[1]))
     assert np.allclose(np.asarray(whole[2][6:]), np.asarray(b[2]))
@@ -259,3 +259,47 @@ def test_checkpoint_roundtrip_with_carry(setup, tmp_path):
     save_checkpoint(path, ens0, keys, 3)
     loaded0, *_ = load_checkpoint(path)
     assert loaded0.nbr_carry is None
+
+
+def test_replayed_frames_do_not_trigger_thrash(setup):
+    """A NEGATIVE frame gap (replaying earlier frames against a newer carry,
+    e.g. warmup passes) is not drift thrash: the builder stays in plain
+    drift-guard mode instead of forcing per-frame rebuilds."""
+    cell, model, frames = setup
+    first = ts.topk_tables_verlet(model, frames[:B], KL, True, None, 0)
+    carry = first[-1]
+    assert carry.last_rebuild >= 0.0
+    replay = ts.topk_tables_verlet(model, frames[:B], KL, True, carry, 0)
+    # small drift: at most a couple of drift-triggered rebuilds, not B
+    assert int((np.asarray(replay[6]) == 2).sum()) <= 3
+    assert replay[-1].thrash_until == carry.thrash_until
+
+
+def test_device_schedule_matches_host_loop(setup, monkeypatch):
+    """The device-resident scheduler and the host loop must produce the SAME
+    schedule, rows, tables and carry (same builder, same f32 threshold and
+    drift arithmetic) — chunk invariance across mixed device/bail regimes
+    depends on it."""
+    cell, model, frames = setup
+    dev = ts.topk_tables_verlet(model, frames[:B], KL, True, None, 0)
+    orig = ts._device_schedule
+
+    def bail_stub(model, pos, kl, k, up, hc, *rest):
+        ri, rv, ref, packed = orig(model, pos, kl, k, up, hc, *rest)
+        return ri, rv, ref, packed.at[-1].set(1.0)  # force the host loop
+
+    monkeypatch.setattr(ts, "_device_schedule", bail_stub)
+    host = ts.topk_tables_verlet(model, frames[:B], KL, True, None, 0)
+    for i, name in enumerate(("topd", "topi", "resc", "ci", "cnbr", "chg",
+                              "mode")):
+        assert np.array_equal(np.asarray(dev[i]), np.asarray(host[i])), name
+    assert np.array_equal(np.asarray(dev[-1].ref_topi),
+                          np.asarray(host[-1].ref_topi))
+    assert dev[-1].thresh == host[-1].thresh
+    assert dev[-1].last_rebuild == host[-1].last_rebuild
+    # and with a carry threaded through
+    dev2 = ts.topk_tables_verlet(model, frames[B:], KL, True, dev[-1], B)
+    monkeypatch.setattr(ts, "_device_schedule", bail_stub)
+    host2 = ts.topk_tables_verlet(model, frames[B:], KL, True, host[-1], B)
+    assert np.array_equal(np.asarray(dev2[0]), np.asarray(host2[0]))
+    assert np.array_equal(np.asarray(dev2[1]), np.asarray(host2[1]))

@@ -28,6 +28,12 @@ ap.add_argument("--pull", type=float, default=0.0,
                 "(0 = free random walk; 0.9995 ~ solid-like vibration)")
 ap.add_argument("--no-reuse", action="store_true",
                 help="disable Verlet candidate reuse (per-frame rebuild)")
+ap.add_argument("--device-frames", action="store_true",
+                help="pre-upload all frame blocks: measures the driver's "
+                "steady state, where the prefetch thread has already "
+                "pipelined the host->device transfer under earlier blocks "
+                "(tools/soak_driver.py); without it the ~14 MB/block upload "
+                "serializes into the timed region")
 args = ap.parse_args()
 if args.platform:
     jax.config.update("jax_platforms", args.platform)
@@ -75,11 +81,18 @@ t0 = time.time()
 reuse = False if args.no_reuse else None  # None = engine auto rule
 ens = run_block_fused(model, cell, ens, blocks[0], 0, dt=0.5, seed=3,
                       tile=args.tile, nbr_reuse=reuse)
-ens = run_block_fused(model, cell, ens, blocks[0], 0, dt=0.5, seed=3,
+# second warmup at frame0=B keeps the absolute frame index monotone: the
+# Verlet thrash guard is keyed on absolute frames, and replaying frame0=0
+# against the carried rebuild state would misrepresent the schedule
+ens = run_block_fused(model, cell, ens, blocks[0], B, dt=0.5, seed=3,
                       tile=args.tile, nbr_reuse=reuse)
 jumps0 = float(np.asarray(ens.replicas.jumps, np.float64).sum())
 t1 = time.time()
 print(f"warmup (compile): {t1 - t0:.1f} s", flush=True)
+if args.device_frames:
+    blocks = [jnp.asarray(b) for b in blocks]
+    jax.block_until_ready(blocks)
+    float(np.asarray(blocks[-1].ravel()[0]))  # tunnel-proof sync
 t2 = time.time()
 for i in range(1, args.blocks + 1):
     ens = run_block_fused(model, cell, ens, blocks[i], i * B, dt=0.5,

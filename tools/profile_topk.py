@@ -71,27 +71,32 @@ cmax = ts.default_cmax(N)
 if args.verlet:
     _carry = [None]
 
-    def tables_j(p):
-        out = ts.topk_tables_verlet(model, p, kl, True, _carry[0])
+    def tables_j(p, frame0=0):
+        out = ts.topk_tables_verlet(model, p, kl, True, _carry[0], frame0)
         _carry[0] = out[-1]
         return out[:7]
 else:
-    tables_j = lambda p: ts.topk_tables_delta(model, p, kl, True, cmax)
+    tables_j = lambda p, frame0=0: ts.topk_tables_delta(model, p, kl, True, cmax)
 
 
 def sync(x):
-    return float(np.asarray(x).ravel()[0])
+    # slice ON DEVICE first: np.asarray(x) would fetch the whole array
+    # through the tunnel (~100-200 MB/s), polluting the timing with
+    # transfer time for multi-MB tensors
+    return float(np.asarray(x.ravel()[0]))
 
 
 # ---- stage 1: tables (two warmup calls: the Verlet path compiles separate
 # carry=None / carry-threaded programs)
-tabs = tables_j(blocks[0])
+tabs = tables_j(blocks[0], 0)
 sync(tabs[0])
-tabs = tables_j(blocks[0])
+tabs = tables_j(blocks[0], 0)
 sync(tabs[0])
 t0 = time.perf_counter()
 for k in range(1, args.blocks + 1):
-    tabs = tables_j(blocks[k])
+    # monotone absolute frame indices: the Verlet thrash guard is keyed on
+    # them, and a replayed frame0 would misrepresent the rebuild schedule
+    tabs = tables_j(blocks[k], k * B)
 sync(tabs[0])
 t_tab = (time.perf_counter() - t0) / args.blocks
 print(f"stage1 tables : {t_tab*1e3/B:8.4f} ms/frame", flush=True)
